@@ -1,10 +1,19 @@
 """Test harness config: force CPU with 8 virtual devices so multi-chip
 sharding tests run anywhere (the real TPU path is exercised by bench.py and
-__graft_entry__.py)."""
+__graft_entry__.py).
+
+Note: the environment may pre-set JAX_PLATFORMS (e.g. to a TPU tunnel), so we
+overwrite rather than setdefault — TPU matmuls default to bfloat16 and would
+break the float32 numerical-parity tests.
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
