@@ -1,0 +1,472 @@
+"""The autoregressive decoder as a single ``jax.lax.scan`` core.
+
+This is the TPU-native re-design of the reference's decoder zoo
+(reference: modules/module.py:530-1686).  The reference composes TF RNNCell
+wrappers (prenet -> AttentionWrapper -> DecoderRNN stack -> output wrappers)
+and drives them with ``tf.contrib.seq2seq.dynamic_decode`` plus mode-specific
+``Helper`` objects (reference: modules/helpers.py).  Here one fused step
+function is scanned over time; modes differ only in (a) where the next input
+frame comes from and (b) whether output heads run inside the step.
+
+Step structure (parity with the reference wrapper stack):
+    x      = prenet(next_input)                       # DecoderPreNetWrapper
+    h      = attention_LSTM([x, prev_context])        # AttentionWrapper cell
+    align_i, att_state_i = mechanism_i(h, state_i)    # 1 or 2 sources
+    ctx    = concat(align_i @ values_i)               # dual-source context
+    cell_out = concat([h, ctx])                       # ConcatOutputAndAttention
+    proj   = Dense(cell_out)                          # OutputProjectionWrapper
+    o1     = proj + LSTM_1(proj)                      # DecoderRNNV1/V2 residual
+    o2     = o1 + LSTM_2(o1)
+    [transformer decoders]
+      y    = hops(o2)  # causal self-attention over the history:
+                       # - train: post-hoc over the whole sequence (parallel)
+                       # - decode: incremental KV-cache step (linear per step,
+                       #   replacing the reference's O(T^2) TransformerWrapper,
+                       #   reference: modules/rnn_wrappers.py:87-124)
+    out, stop = heads(y)
+
+Decode modes (parity with reference helpers, modules/helpers.py):
+  TRAIN              teacher-forced inputs, full target length
+  VALIDATION         free-running (softmax or raw feedback) or teacher-forced
+  INFERENCE          stop-token based with min/max iteration caps
+
+The train-path and decode-path must produce identical outputs under teacher
+forcing — the central invariant of the reference's only test
+(reference: modules/transformer_test.py:44-90) — verified in
+tests/test_decoder_parity.py.
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.rnn import ZoneoutLSTMCell
+from .attention import (AttentionOptions, MemoryPack, attention_mechanism_factory,
+                        compute_context)
+from .encoders import SelfAttentionTransformer
+from .prenet import PreNetStack
+
+glorot = nn.initializers.glorot_uniform()
+
+
+class DecoderMode(enum.Enum):
+    TRAIN = "train"
+    VALIDATION = "validation"
+    INFERENCE = "inference"
+
+
+class DecoderOutput(NamedTuple):
+    outputs: jax.Array                 # (B, T_frames, C) main output
+    stop_token: jax.Array              # (B, T_steps, 1) logits
+    predicted_samples: jax.Array       # (B, T_steps, r) argmax ids
+    alignments: Tuple[jax.Array, ...]  # per source (B, T_mem, T_steps)
+    self_attention_alignments: List[jax.Array]  # per hop*head (B, T_k, T_q)
+    lengths: jax.Array                 # (B,) decoded steps (reduced frames)
+    outputs2: Optional[jax.Array] = None  # (B, T_frames, num_lf0s) for MgcLf0
+
+
+class TacotronDecoder(nn.Module):
+    """Unified decoder covering the reference's eight decoder classes.
+
+    num_sources=1, use_transformer=False  -> ExtendedDecoder
+    num_sources=1, use_transformer=True   -> TransformerDecoder
+    num_sources=2, use_transformer=False  -> DualSourceDecoder
+    num_sources=2, use_transformer=True   -> DualSourceTransformerDecoder
+    output_kind="mgclf0" variants         -> MgcLf0{,DualSource,Transformer}Decoder
+    """
+
+    attention_options: Tuple[AttentionOptions, ...]
+    num_sources: int = 2
+    use_transformer: bool = True
+    output_kind: str = "single"  # single | mgclf0
+    prenet_out_units: Tuple[int, ...] = (256, 128)
+    drop_rate: float = 0.5
+    apply_dropout_on_inference: bool = False
+    attention_rnn_out_units: int = 256
+    decoder_version: str = "v1"
+    decoder_out_units: int = 256
+    num_mels: int = 80               # output channels C (or num codes)
+    num_mgcs: int = 60
+    num_lf0s: int = 256
+    outputs_per_step: int = 2        # r
+    n_feed_frame: int = 1
+    max_iters: int = 500
+    min_iters: int = 10
+    zoneout_factor_cell: float = 0.0
+    zoneout_factor_output: float = 0.0
+    self_attention_out_units: int = 256
+    self_attention_num_heads: int = 2
+    self_attention_num_hop: int = 1
+    self_attention_drop_rate: float = 0.05
+    use_speaker_embed: bool = False
+    feedback_softmax: bool = False   # one-hot code models feed softmax probs
+    dtype: jnp.dtype = jnp.float32
+
+    # ------------------------------------------------------------- submodules
+    def setup(self):
+        assert len(self.attention_options) == self.num_sources
+        if self.output_kind == "mgclf0":
+            self.mgc_prenets = PreNetStack(
+                self.prenet_out_units, self.drop_rate,
+                self.apply_dropout_on_inference, self.use_speaker_embed,
+                self.dtype)
+            self.lf0_prenets = PreNetStack(
+                self.prenet_out_units, self.drop_rate,
+                self.apply_dropout_on_inference, self.use_speaker_embed,
+                self.dtype)
+        else:
+            self.prenets = PreNetStack(
+                self.prenet_out_units, self.drop_rate,
+                self.apply_dropout_on_inference, self.use_speaker_embed,
+                self.dtype)
+
+        self.attention_mechanisms = tuple(
+            attention_mechanism_factory(opt, self.dtype,
+                                        name=f"attention_mechanism_{i}")
+            for i, opt in enumerate(self.attention_options))
+
+        self.attention_lstm = ZoneoutLSTMCell(
+            self.attention_rnn_out_units, self.zoneout_factor_cell,
+            self.zoneout_factor_output, self.dtype)
+
+        # DecoderRNNV1/V2: input projection + 2 residual LSTMs
+        self.output_projection_wrapper = nn.Dense(
+            self.decoder_out_units, kernel_init=glorot, dtype=self.dtype)
+        zc = self.zoneout_factor_cell if self.decoder_version == "v2" else 0.0
+        zo = self.zoneout_factor_output if self.decoder_version == "v2" else 0.0
+        self.decoder_lstm1 = ZoneoutLSTMCell(self.decoder_out_units, zc, zo,
+                                             self.dtype)
+        self.decoder_lstm2 = ZoneoutLSTMCell(self.decoder_out_units, zc, zo,
+                                             self.dtype)
+
+        if self.use_transformer:
+            self.transformers = tuple(
+                SelfAttentionTransformer(
+                    self.self_attention_out_units,
+                    self.self_attention_out_units,
+                    self.self_attention_num_heads,
+                    self.self_attention_drop_rate,
+                    use_subsequent_mask=True, dtype=self.dtype,
+                    name=f"transformer_{i}")
+                for i in range(self.self_attention_num_hop))
+
+        out_dim = self.num_mels * self.outputs_per_step
+        if self.output_kind == "mgclf0":
+            # MGCProjection: dense(tanh) -> dense; Projection for lf0/stop
+            # (reference: modules/module.py:646-675)
+            head_in = (self.self_attention_out_units if self.use_transformer
+                       else self.decoder_out_units)
+            self.mgc_out_projection1 = nn.Dense(head_in, kernel_init=glorot,
+                                                dtype=self.dtype)
+            self.mgc_out_projection2 = nn.Dense(
+                self.num_mgcs * self.outputs_per_step, kernel_init=glorot,
+                dtype=self.dtype)
+            self.lf0_out_projection = nn.Dense(
+                self.num_lf0s * self.outputs_per_step, kernel_init=glorot,
+                dtype=self.dtype)
+        else:
+            self.out_projection = nn.Dense(out_dim, kernel_init=glorot,
+                                           dtype=self.dtype)
+        self.stop_token_projection = nn.Dense(1, kernel_init=glorot,
+                                              dtype=self.dtype)
+
+    # ------------------------------------------------------------ public API
+    def __call__(self, sources: Sequence[jax.Array],
+                 memory_lengths: Sequence[jax.Array],
+                 target: Optional[Any] = None,
+                 mode: DecoderMode = DecoderMode.TRAIN,
+                 teacher_forcing: bool = False,
+                 speaker_embed: Optional[jax.Array] = None,
+                 teacher_alignments: Optional[Sequence[jax.Array]] = None,
+                 ) -> DecoderOutput:
+        assert len(sources) == self.num_sources
+        is_training = mode == DecoderMode.TRAIN
+        B = sources[0].shape[0]
+        r = self.outputs_per_step
+
+        packs = []
+        for i, mech in enumerate(self.attention_mechanisms):
+            ta = None if teacher_alignments is None else teacher_alignments[i]
+            if ta is not None:
+                packs.append(mech.precompute(sources[i], memory_lengths[i],
+                                             teacher_alignments=ta))
+            else:
+                packs.append(mech.precompute(sources[i], memory_lengths[i]))
+        packs = tuple(packs)
+
+        if mode == DecoderMode.INFERENCE:
+            num_steps = self.max_iters
+            teacher_xs = None
+        else:
+            t_frames = (target[0] if self.output_kind == "mgclf0"
+                        else target).shape[1]
+            num_steps = t_frames // r
+            teacher_xs = self._teacher_inputs(target, num_steps)
+
+        if is_training and self.use_transformer:
+            return self._train_transformer_path(packs, B, num_steps,
+                                                teacher_xs, speaker_embed,
+                                                memory_lengths)
+        return self._decode_path(packs, B, num_steps, teacher_xs, mode,
+                                 teacher_forcing, speaker_embed)
+
+    # ------------------------------------------------------- teacher inputs
+    def _frame_dims(self) -> Tuple[int, ...]:
+        if self.output_kind == "mgclf0":
+            return (self.num_mgcs, self.num_lf0s)
+        return (self.num_mels,)
+
+    def _teacher_inputs(self, target, num_steps):
+        """Shifted, r-reduced teacher inputs: [GO, tgt_0, ..., tgt_{T-2}],
+        keeping the last n_feed_frame frames of each reduced step
+        (reference: modules/helpers.py:44-58)."""
+        r = self.outputs_per_step
+        targets = target if self.output_kind == "mgclf0" else (target,)
+        xs = []
+        for tgt, C in zip(targets, self._frame_dims()):
+            B = tgt.shape[0]
+            reduced = tgt.reshape(B, num_steps, C * r)
+            feed = reduced[:, :-1, -C * self.n_feed_frame:]
+            go = jnp.zeros((B, 1, C * self.n_feed_frame), tgt.dtype)
+            xs.append(jnp.concatenate([go, feed], axis=1))
+        return tuple(xs) if self.output_kind == "mgclf0" else xs[0]
+
+    # ----------------------------------------------------------- scan pieces
+    def _initial_rnn_carry(self, B, packs):
+        ctx_dim = sum(int(p.values.shape[-1]) for p in packs)
+        return dict(
+            att_lstm=ZoneoutLSTMCell.initial_state(
+                B, self.attention_rnn_out_units, self.dtype),
+            lstm1=ZoneoutLSTMCell.initial_state(B, self.decoder_out_units,
+                                                self.dtype),
+            lstm2=ZoneoutLSTMCell.initial_state(B, self.decoder_out_units,
+                                                self.dtype),
+            att_states=tuple(
+                mech.initial_state(B, p.values.shape[1])
+                for mech, p in zip(self.attention_mechanisms, packs)),
+            prev_context=jnp.zeros((B, ctx_dim), self.dtype),
+        )
+
+    def _rnn_step(self, carry, x, packs, speaker_embed, is_training):
+        """One step of the recurrent trunk; returns (carry, (o2, aligns))."""
+        if self.output_kind == "mgclf0":
+            mgc_in, lf0_in = x
+            if self.use_speaker_embed:
+                pm = self.mgc_prenets(mgc_in, speaker_embed,
+                                      is_training=is_training)
+                pl = self.lf0_prenets(lf0_in, speaker_embed,
+                                      is_training=is_training)
+            else:
+                pm = self.mgc_prenets(mgc_in, is_training=is_training)
+                pl = self.lf0_prenets(lf0_in, is_training=is_training)
+            prenet_out = jnp.concatenate([pm, pl], axis=-1)
+        else:
+            if self.use_speaker_embed:
+                prenet_out = self.prenets(x, speaker_embed,
+                                          is_training=is_training)
+            else:
+                prenet_out = self.prenets(x, is_training=is_training)
+
+        cell_in = jnp.concatenate([prenet_out, carry["prev_context"]], axis=-1)
+        att_lstm_state, h = self.attention_lstm(
+            carry["att_lstm"], cell_in, deterministic=not is_training)
+
+        aligns = []
+        contexts = []
+        new_att_states = []
+        for mech, state, pack in zip(self.attention_mechanisms,
+                                     carry["att_states"], packs):
+            alignment, new_state = mech.step(h, state, pack)
+            aligns.append(alignment)
+            contexts.append(compute_context(alignment, pack.values))
+            new_att_states.append(new_state)
+        context = jnp.concatenate(contexts, axis=-1)
+
+        cell_out = jnp.concatenate([h, context], axis=-1)
+        proj = self.output_projection_wrapper(cell_out)
+        lstm1_state, l1 = self.decoder_lstm1(carry["lstm1"], proj,
+                                             deterministic=not is_training)
+        o1 = proj + l1
+        lstm2_state, l2 = self.decoder_lstm2(carry["lstm2"], o1,
+                                             deterministic=not is_training)
+        o2 = o1 + l2
+
+        new_carry = dict(carry, att_lstm=att_lstm_state, lstm1=lstm1_state,
+                         lstm2=lstm2_state, att_states=tuple(new_att_states),
+                         prev_context=context)
+        return new_carry, (o2, tuple(aligns))
+
+    # ----------------------------------------------------- head computations
+    def _heads_full(self, y):
+        """Output heads over a full (B, T, D) sequence."""
+        if self.output_kind == "mgclf0":
+            mgc = self.mgc_out_projection2(jnp.tanh(self.mgc_out_projection1(y)))
+            lf0 = self.lf0_out_projection(y)
+            stop = self.stop_token_projection(y)
+            return (mgc, lf0), stop
+        out = self.out_projection(y)
+        stop = self.stop_token_projection(y)
+        return (out,), stop
+
+    def _next_input_from_output(self, outs, mode, teacher_forcing,
+                                teacher_x_t):
+        """Helper semantics: what to feed at the next step
+        (reference: modules/helpers.py)."""
+        r = self.outputs_per_step
+        if mode != DecoderMode.INFERENCE and teacher_forcing:
+            return teacher_x_t
+        feeds = []
+        dims = self._frame_dims()
+        for idx, (o, C) in enumerate(zip(outs, dims)):
+            B = o.shape[0]
+            softmax_this = (
+                (self.output_kind == "single" and self.feedback_softmax
+                 and mode == DecoderMode.VALIDATION) or
+                (self.output_kind == "mgclf0" and idx == 1))
+            if softmax_this:
+                probs = jax.nn.softmax(o.reshape(B, r, C), axis=-1)
+                feeds.append(probs[:, -self.n_feed_frame:, :].reshape(
+                    B, C * self.n_feed_frame))
+            else:
+                feeds.append(o[:, -C * self.n_feed_frame:])
+        return tuple(feeds) if self.output_kind == "mgclf0" else feeds[0]
+
+    # ------------------------------------------------- train path (parallel)
+    def _train_transformer_path(self, packs, B, num_steps, teacher_xs,
+                                speaker_embed, memory_lengths):
+        """Teacher-forced RNN scan, then parallel causal hops + heads
+        (reference: modules/module.py:743-765)."""
+        carry = self._initial_rnn_carry(B, packs)
+
+        def step(mdl, c, x_t):
+            return mdl._rnn_step(c, x_t, packs, speaker_embed,
+                                 is_training=True)
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True, "zoneout": True},
+                       in_axes=1, out_axes=1)
+        _, (rnn_out, aligns) = scan(self, carry, teacher_xs)
+        # rnn_out: (B, T, D); aligns: tuple of (B, T, T_mem)
+
+        y = rnn_out
+        sa_aligns: List[jax.Array] = []
+        for hop in self.transformers:
+            y, heads = hop(y, deterministic=False)
+            sa_aligns.extend(heads)
+        outs, stop = self._heads_full(y)
+        return self._package(outs, stop, aligns, sa_aligns,
+                             jnp.full((B,), num_steps, jnp.int32), num_steps)
+
+    # -------------------------------------------------- decode path (serial)
+    def _decode_path(self, packs, B, num_steps, teacher_xs, mode,
+                     teacher_forcing, speaker_embed):
+        is_training = mode == DecoderMode.TRAIN
+        carry = self._initial_rnn_carry(B, packs)
+
+        go = self._go_frame(B)
+        carry["next_input"] = go
+        carry["finished"] = jnp.zeros((B, 1), bool)
+        if self.use_transformer:
+            carry["caches"] = tuple(hop.init_cache(B, num_steps)
+                                    for hop in self.transformers)
+
+        if teacher_xs is None:
+            dims = self._frame_dims()
+            zeros = tuple(jnp.zeros((B, num_steps, C * self.n_feed_frame),
+                                    self.dtype) for C in dims)
+            teacher_xs = zeros if self.output_kind == "mgclf0" else zeros[0]
+        # Helper semantics: next_inputs(time=t) feeds target step t itself
+        # (reference: modules/helpers.py:54-58,98-108), i.e. the GO-shifted
+        # teacher sequence advanced by one: feed[t] = shifted[t+1].
+        teacher_feed = jax.tree_util.tree_map(
+            lambda xs: jnp.concatenate(
+                [xs[:, 1:], jnp.zeros_like(xs[:, :1])], axis=1), teacher_xs)
+
+        def step(mdl, c, t, teacher_x_t):
+            c2, (o2, aligns) = mdl._rnn_step(c, c["next_input"], packs,
+                                             speaker_embed,
+                                             is_training=is_training)
+            y_t = o2
+            sa_rows = []
+            if mdl.use_transformer:
+                new_caches = []
+                for hop, cache in zip(mdl.transformers, c2["caches"]):
+                    y_t, cache, row = hop.step(y_t, t, cache,
+                                               deterministic=not is_training)
+                    new_caches.append(cache)
+                    sa_rows.append(row)
+                c2["caches"] = tuple(new_caches)
+            outs_t, stop_t = mdl._heads_full(y_t[:, None, :])
+            outs_t = tuple(o[:, 0] for o in outs_t)
+            stop_t = stop_t[:, 0]
+
+            finished = c["finished"] | (
+                (jax.nn.sigmoid(stop_t) > 0.5) & (t > mdl.min_iters))
+            c2["finished"] = finished
+            c2["next_input"] = mdl._next_input_from_output(
+                outs_t, mode, teacher_forcing, teacher_x_t)
+            ys = (outs_t, stop_t, aligns, tuple(sa_rows),
+                  jnp.all(finished))
+            return c2, ys
+
+        scan = nn.scan(step, variable_broadcast="params",
+                       split_rngs={"params": False, "dropout": True, "zoneout": True},
+                       in_axes=(0, 1), out_axes=0)
+        ts = jnp.arange(num_steps)
+        _, (outs_seq, stop_seq, aligns_seq, sa_rows_seq, all_finished_seq) = \
+            scan(self, carry, ts, teacher_feed)
+
+        # stacked on axis 0 = time; move to batch-major
+        outs_seq = tuple(jnp.moveaxis(o, 0, 1) for o in outs_seq)
+        stop_seq = jnp.moveaxis(stop_seq, 0, 1)
+        aligns_seq = tuple(jnp.moveaxis(a, 0, 1) for a in aligns_seq)
+
+        if mode == DecoderMode.INFERENCE:
+            any_finish = jnp.any(all_finished_seq)
+            first = jnp.argmax(all_finished_seq)
+            steps_taken = jnp.where(any_finish, first + 1, num_steps)
+        else:
+            steps_taken = jnp.asarray(num_steps, jnp.int32)
+        lengths = jnp.full((B,), steps_taken, jnp.int32)
+
+        sa_aligns: List[jax.Array] = []
+        for hop_rows in sa_rows_seq:  # (T, B, H, max_len) per hop
+            rows = jnp.moveaxis(hop_rows, 0, 1)  # (B, T, H, max_len)
+            for head in range(rows.shape[2]):
+                sa_aligns.append(rows[:, :, head, :])  # (B, T_q, T_k)
+        return self._package(outs_seq, stop_seq, aligns_seq, sa_aligns,
+                             lengths, num_steps)
+
+    def _go_frame(self, B):
+        dims = self._frame_dims()
+        gos = tuple(jnp.zeros((B, C * self.n_feed_frame), self.dtype)
+                    for C in dims)
+        return gos if self.output_kind == "mgclf0" else gos[0]
+
+    # ---------------------------------------------------------- packaging
+    def _package(self, outs, stop, aligns, sa_aligns, lengths, num_steps):
+        r = self.outputs_per_step
+        dims = self._frame_dims()
+        B = outs[0].shape[0]
+        main = outs[0].reshape(B, num_steps * r, dims[0])
+        second = (outs[1].reshape(B, num_steps * r, dims[1])
+                  if self.output_kind == "mgclf0" else None)
+        # predicted samples: per reduced step, per frame argmax over channels
+        samples = jnp.argmax(
+            outs[0].reshape(B, num_steps, r, dims[0]), axis=-1).astype(jnp.int32)
+        if stop.ndim == 2:
+            stop = stop[..., None]
+        # alignment histories to (B, T_mem, T_steps) (reference:
+        # models/models.py:108-109 transpose of stacked history)
+        alignments = tuple(jnp.swapaxes(a, 1, 2) for a in aligns)
+        # decoder self-attention alignments to (B, T_k, T_q)
+        sa_aligns = [jnp.swapaxes(a, 1, 2) for a in sa_aligns]
+        return DecoderOutput(outputs=main, stop_token=stop,
+                             predicted_samples=samples, alignments=alignments,
+                             self_attention_alignments=sa_aligns,
+                             lengths=lengths, outputs2=second)

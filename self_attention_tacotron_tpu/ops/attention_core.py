@@ -70,6 +70,7 @@ class MultiHeadAttention(nn.Module):
         self.value_projection = nn.Dense(self.model_dim, **d)
         self.query_projection = nn.Dense(self.model_dim, **d)
         self.output_projection = nn.Dense(self.model_dim, **d)
+        self.dropout = nn.Dropout(self.drop_rate)
 
     @property
     def head_dim(self) -> int:
@@ -109,7 +110,7 @@ class MultiHeadAttention(nn.Module):
         probs = _masked_softmax(scores, mask)
         alignments = probs
         if self.drop_rate > 0.0 and not deterministic:
-            probs = nn.Dropout(self.drop_rate, deterministic=False)(probs)
+            probs = self.dropout(probs, deterministic=False)
         context = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         output = self.output_projection(self._merge_heads(context))
         return output, alignments
@@ -142,7 +143,7 @@ class MultiHeadAttention(nn.Module):
         probs = _masked_softmax(scores, valid)
         align_row = probs
         if self.drop_rate > 0.0 and not deterministic:
-            probs = nn.Dropout(self.drop_rate, deterministic=False)(probs)
+            probs = self.dropout(probs, deterministic=False)
         context = jnp.einsum("bhk,bhkd->bhd", probs, value_cache)
         out = self.output_projection(context.reshape(B, self.model_dim))
         return out, AttentionCache(key_cache, value_cache), align_row
