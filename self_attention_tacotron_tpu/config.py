@@ -23,8 +23,8 @@ def _list_f(*xs: float) -> Any:
     return field(default_factory=lambda: list(xs))
 
 
-@dataclass
-class HParams:
+@dataclass(eq=False)  # eq=False keeps identity hashing (usable as a static
+class HParams:        # attribute of flax modules / jit closures)
     # ------------------------------------------------------------------ Audio
     num_mels: int = 1025
     num_mgcs: int = 60

@@ -1,3 +1,10 @@
-from . import attention, decoder, embedding, encoders, prenet
+from . import attention, decoder, embedding, encoders, postnet, prenet, tacotron
+from .decoder import DecoderMode, TacotronDecoder
+from .tacotron import (Batch, TacotronModel, TacotronOutput, compute_loss,
+                       tacotron_model_factory)
 
-__all__ = ["attention", "decoder", "embedding", "encoders", "prenet"]
+__all__ = [
+    "attention", "decoder", "embedding", "encoders", "postnet", "prenet",
+    "tacotron", "DecoderMode", "TacotronDecoder", "Batch", "TacotronModel",
+    "TacotronOutput", "compute_loss", "tacotron_model_factory",
+]

@@ -192,11 +192,19 @@ class TacotronDecoder(nn.Module):
         packs = []
         for i, mech in enumerate(self.attention_mechanisms):
             ta = None if teacher_alignments is None else teacher_alignments[i]
-            if ta is not None:
+            from .attention import TeacherForcingAttention
+            if isinstance(mech, TeacherForcingAttention):
                 packs.append(mech.precompute(sources[i], memory_lengths[i],
                                              teacher_alignments=ta))
             else:
-                packs.append(mech.precompute(sources[i], memory_lengths[i]))
+                pack = mech.precompute(sources[i], memory_lengths[i])
+                # forced-alignment replay: any mechanism can be overridden by
+                # supplied alignments (reference: models/models.py:118-134
+                # swaps to teacher_forcing_* mechanisms; replay is paramless
+                # so we reuse the same decoder instance)
+                if ta is not None:
+                    pack = pack._replace(teacher_alignments=ta)
+                packs.append(pack)
         packs = tuple(packs)
 
         if mode == DecoderMode.INFERENCE:
@@ -250,6 +258,7 @@ class TacotronDecoder(nn.Module):
                 mech.initial_state(B, p.values.shape[1])
                 for mech, p in zip(self.attention_mechanisms, packs)),
             prev_context=jnp.zeros((B, ctx_dim), self.dtype),
+            time=jnp.asarray(0, jnp.int32),
         )
 
     def _rnn_step(self, carry, x, packs, speaker_embed, is_training):
@@ -279,9 +288,19 @@ class TacotronDecoder(nn.Module):
         aligns = []
         contexts = []
         new_att_states = []
+        from .attention import TeacherForcingAttention
         for mech, state, pack in zip(self.attention_mechanisms,
                                      carry["att_states"], packs):
-            alignment, new_state = mech.step(h, state, pack)
+            if (pack.teacher_alignments is not None
+                    and not isinstance(mech, TeacherForcingAttention)):
+                T_steps = pack.teacher_alignments.shape[1]
+                alignment = jax.lax.dynamic_index_in_dim(
+                    pack.teacher_alignments,
+                    jnp.clip(carry["time"], 0, T_steps - 1), axis=1,
+                    keepdims=False)
+                new_state = state
+            else:
+                alignment, new_state = mech.step(h, state, pack)
             aligns.append(alignment)
             contexts.append(compute_context(alignment, pack.values))
             new_att_states.append(new_state)
@@ -296,7 +315,8 @@ class TacotronDecoder(nn.Module):
                                              deterministic=not is_training)
         o2 = o1 + l2
 
-        new_carry = dict(carry, att_lstm=att_lstm_state, lstm1=lstm1_state,
+        new_carry = dict(carry, time=carry["time"] + 1,
+                         att_lstm=att_lstm_state, lstm1=lstm1_state,
                          lstm2=lstm2_state, att_states=tuple(new_att_states),
                          prev_context=context)
         return new_carry, (o2, tuple(aligns))
