@@ -1,0 +1,9 @@
+from .mesh import create_mesh, batch_sharding, replicated_sharding
+from .train_step import (TrainState, create_train_state, make_train_step,
+                         make_eval_step, make_predict_step, make_optimizer)
+
+__all__ = [
+    "create_mesh", "batch_sharding", "replicated_sharding",
+    "TrainState", "create_train_state", "make_train_step", "make_eval_step",
+    "make_predict_step", "make_optimizer",
+]
