@@ -1,0 +1,219 @@
+import numpy as np
+import pytest
+
+from self_attention_tacotron_tpu.config import default_hparams
+from self_attention_tacotron_tpu.data import records as R
+from self_attention_tacotron_tpu.data import tfrecord as T
+from self_attention_tacotron_tpu.data.dataset import (
+    Dataset, dataset_factory, load_utterance, pad_batch, to_model_batch,
+)
+
+
+def test_crc32c_known_values():
+    # RFC 3720 test vectors
+    assert T.crc32c(b"") == 0x00000000
+    assert T.crc32c(bytes(32)) == 0x8A9136AA
+    assert T.crc32c(bytes([0xFF] * 32)) == 0x62A8AB43
+    assert T.crc32c(bytes(range(32))) == 0x46DD794E
+    assert T.crc32c(b"123456789") == 0xE3069283
+
+
+def test_tfrecord_roundtrip(tmp_path):
+    path = str(tmp_path / "x.tfrecord")
+    payloads = [b"hello", b"", b"x" * 1000]
+    T.write_records(payloads, path)
+    assert list(T.read_records(path)) == payloads
+
+
+def test_example_proto_roundtrip(tmp_path):
+    feats = {
+        "id": T.int64_feature([42]),
+        "neg": T.int64_feature([-7]),
+        "key": T.bytes_feature([b"p225_001"]),
+        "vals": T.float_feature([1.5, -2.25]),
+    }
+    path = str(tmp_path / "e.tfrecord")
+    T.write_example(feats, path)
+    parsed = next(iter(T.read_examples(path)))
+    assert parsed["id"] == ("int64", [42])
+    assert parsed["neg"] == ("int64", [-7])
+    assert parsed["key"] == ("bytes", [b"p225_001"])
+    kind, vals = parsed["vals"]
+    assert kind == "float"
+    np.testing.assert_allclose(vals, [1.5, -2.25])
+
+
+def test_source_record_roundtrip(tmp_path):
+    rec = R.SourceRecord(id=3, key="p1_001",
+                         source=np.array([5, 6, 7], np.int64),
+                         source_length=3, text="abc", speaker_id=12, age=23,
+                         gender=1, phone=np.array([1, 2], np.int64),
+                         phone_length=2, phone_txt="hh ax", lang="EN")
+    path = str(tmp_path / "s.tfrecord")
+    R.write_source_record(rec, path, with_speaker=True, with_phone=True,
+                          with_lang=True)
+    out = R.parse_source_record(next(iter(T.read_examples(path))))
+    assert out.key == "p1_001" and out.speaker_id == 12
+    np.testing.assert_array_equal(out.source, rec.source)
+    np.testing.assert_array_equal(out.phone, rec.phone)
+    assert out.phone_txt == "hh ax" and out.lang == "EN"
+
+
+def test_code_target_roundtrip(tmp_path):
+    codes = np.eye(8, dtype=np.float32)[[1, 3, 5]]
+    rec = R.CodeTargetRecord(id=1, key="k", lang="EN", codes=codes,
+                             codes_length=3, codes_width=8)
+    path = str(tmp_path / "t.tfrecord")
+    R.write_code_target_record(rec, path)
+    out = R.parse_code_target_record(next(iter(T.read_examples(path))))
+    np.testing.assert_array_equal(out.codes, codes)
+
+
+def _write_corpus(tmp_path, hp, n=6, kind="codes", num_codes=8):
+    src_files, tgt_files = [], []
+    rng = np.random.RandomState(0)
+    for i in range(n):
+        key = f"p1_{i:03d}"
+        sf = str(tmp_path / f"{key}.source.tfrecord")
+        tf_ = str(tmp_path / f"{key}.target.tfrecord")
+        L_in = int(rng.randint(4, 10))
+        R.write_source_record(
+            R.SourceRecord(id=i, key=key,
+                           source=rng.randint(1, 20, L_in).astype(np.int64),
+                           source_length=L_in, text=f"text {i}",
+                           speaker_id=1, age=20, gender=0,
+                           phone=rng.randint(0, 40, L_in + 2).astype(np.int64),
+                           phone_length=L_in + 2, phone_txt="x " * (L_in + 2),
+                           lang="EN"),
+            sf, with_speaker=True, with_phone=True, with_lang=True)
+        if kind == "codes":
+            L = int(rng.randint(3, 12))
+            codes = np.eye(num_codes, dtype=np.float32)[
+                rng.randint(0, num_codes, L)]
+            R.write_code_target_record(
+                R.CodeTargetRecord(i, key, "EN", codes, L, num_codes), tf_)
+        else:
+            L = int(rng.randint(6, 20))
+            mel = rng.randn(L, hp.num_mels).astype(np.float32)
+            R.write_mel_target_record(
+                R.MelTargetRecord(i, key, mel, hp.num_mels, L), tf_)
+        src_files.append(sf)
+        tgt_files.append(tf_)
+    return src_files, tgt_files
+
+
+def test_codes_dataset_pipeline(tmp_path):
+    hp = default_hparams().replace(num_mels=8, outputs_per_step=1,
+                                   batch_size=2, max_iters=50,
+                                   approx_min_target_length=0,
+                                   batch_bucket_width=8, source="phone")
+    src, tgt = _write_corpus(tmp_path, hp, kind="codes")
+    ds = Dataset(src, tgt, hp, target_kind="codes", batch_size=2,
+                 shuffle=False)
+    batches = list(ds)
+    total = sum(len(b.meta) for b in batches)
+    assert total == 6
+    for b in batches:
+        B, Tt, C = b.target.shape
+        assert C == 8
+        assert Tt % hp.outputs_per_step == 0
+        assert b.done.shape == (B, Tt)
+        # done is 1 exactly from the last valid step on
+        for i in range(B):
+            L = int(b.target_length[i])
+            assert b.done[i, L - 1] == 1.0
+            assert np.all(b.done[i, L:] == 1.0)
+            assert np.all(b.done[i, :L - 1] == 0.0)
+            assert np.all(b.spec_loss_mask[i, :L] == 1.0)
+            assert np.all(b.spec_loss_mask[i, L:] == 0.0)
+        # phone source selected
+        assert b.source.dtype == np.int64
+
+
+def test_mel_dataset_silence_padding(tmp_path):
+    hp = default_hparams().replace(
+        num_mels=8, outputs_per_step=2, batch_size=2, max_iters=50,
+        dataset="vctk.dataset.DatasetSource", source="character",
+        average_mel_level_db=[0.0] * 8, stddev_mel_level_db=[1.0] * 8,
+        approx_min_target_length=0, batch_bucket_width=10)
+    src, tgt = _write_corpus(tmp_path, hp, kind="mel")
+    ds = dataset_factory(src, tgt, hp, batch_size=2, shuffle=False)
+    assert ds.target_kind == "mel"
+    b = next(iter(ds))
+    B, Tt, C = b.target.shape
+    assert Tt % 2 == 0
+    r = hp.outputs_per_step
+    for i in range(B):
+        L = int(b.target_length[i])
+        # head silence frames present
+        np.testing.assert_allclose(b.target[i, :r],
+                                   hp.silence_mel_level_db)
+        # padding beyond L is silence
+        if L < Tt:
+            np.testing.assert_allclose(b.target[i, L:],
+                                       hp.silence_mel_level_db)
+        assert b.done.shape[1] == Tt // r
+
+
+def test_filter_by_max_output_length(tmp_path):
+    hp = default_hparams().replace(num_mels=8, outputs_per_step=1,
+                                   max_iters=5, batch_size=2,
+                                   approx_min_target_length=0)
+    src, tgt = _write_corpus(tmp_path, hp, kind="codes")
+    ds = Dataset(src, tgt, hp, target_kind="codes", batch_size=1,
+                 shuffle=False)
+    for b in ds:
+        assert int(b.target_length[0]) <= 5
+
+
+def test_static_bucket_shapes(tmp_path):
+    """All batches from the same bucket must share identical array shapes
+    (the compile-once-per-bucket property)."""
+    hp = default_hparams().replace(num_mels=8, outputs_per_step=1,
+                                   batch_size=2, max_iters=100,
+                                   approx_min_target_length=0,
+                                   batch_bucket_width=16)
+    src, tgt = _write_corpus(tmp_path, hp, n=12, kind="codes")
+    ds = Dataset(src, tgt, hp, target_kind="codes", batch_size=2,
+                 shuffle=False, drop_remainder=True)
+    shapes = {}
+    for b in ds:
+        key = b.target.shape[1]
+        shapes.setdefault(key, set()).add(
+            (b.target.shape, b.done.shape, b.source.shape[1] % 32 == 0
+             or b.source.shape[1] == b.source.shape[1]))
+    for pad_len, shape_set in shapes.items():
+        tgt_shapes = {s[0] for s in shape_set}
+        assert len(tgt_shapes) == 1
+
+
+def test_prediction_batches_without_target(tmp_path):
+    hp = default_hparams().replace(num_mels=8, batch_size=1)
+    src, _ = _write_corpus(tmp_path, hp, kind="codes")
+    ds = Dataset(src, None, hp, target_kind="codes", batch_size=1,
+                 shuffle=False)
+    batches = list(ds)
+    assert len(batches) == 6
+    assert batches[0].target is None
+
+
+def test_to_model_batch(tmp_path):
+    hp = default_hparams().replace(num_mels=8, outputs_per_step=1,
+                                   batch_size=2, approx_min_target_length=0)
+    src, tgt = _write_corpus(tmp_path, hp, kind="codes")
+    b = next(iter(Dataset(src, tgt, hp, target_kind="codes", batch_size=2,
+                          shuffle=False)))
+    mb = to_model_batch(b)
+    assert mb.source.dtype == np.int32
+    assert mb.target.shape == b.target.shape
+
+
+def test_prefetch_iterates_fully(tmp_path):
+    hp = default_hparams().replace(num_mels=8, batch_size=2,
+                                   approx_min_target_length=0)
+    src, tgt = _write_corpus(tmp_path, hp, kind="codes")
+    ds = Dataset(src, tgt, hp, target_kind="codes", batch_size=2,
+                 shuffle=False)
+    n_direct = sum(len(b.meta) for b in ds)
+    n_prefetch = sum(len(b.meta) for b in ds.prefetch(2))
+    assert n_direct == n_prefetch
