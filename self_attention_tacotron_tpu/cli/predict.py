@@ -1,0 +1,150 @@
+"""Prediction CLIs: batch inference -> .mfbsp dumps + alignment PNGs +
+prediction TFRecords.
+
+Parity targets:
+* predict_mel — reference predict_mel.py:28-74: batch-1 free-running decode,
+  ``.mfbsp`` float32 dump of the predicted mel, alignment plot PNG,
+  prediction-result TFRecord.
+* predict_code — reference predict_code.py:28-72: same over VQ-code one-hot
+  outputs; the reference stops after 10 utterances (kept behind
+  ``--limit``, default 10 for codes).
+* forced-alignment prediction mode (``use_forced_alignment_mode``,
+  reference models/models.py:118-148) runs inside the predict step.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def build_argparser(kind: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--source-data-root", required=True)
+    p.add_argument("--target-data-root", required=True)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--selected-list-dir", default=None)
+    p.add_argument("--list-filename", default="test.csv")
+    p.add_argument("--hparams", default="")
+    p.add_argument("--hparam-json-file", default=None)
+    p.add_argument("--checkpoint", default=None,
+                   help="specific checkpoint step to restore")
+    p.add_argument("--limit", type=int, default=10 if kind == "codes" else None)
+    return p
+
+
+def predict(kind: str, argv=None) -> int:
+    args = build_argparser(kind).parse_args(argv)
+    from .train import load_hparams
+    hp = load_hparams(args)
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger(f"predict_{kind}")
+
+    from ..data.dataset import (dataset_factory, find_dataset_files,
+                                load_key_list, to_model_batch)
+    from ..data.records import (PredictionRecord, MelPredictionRecord,
+                                write_mel_prediction_record,
+                                write_prediction_record)
+    from ..models import tacotron_model_factory
+    from ..parallel import create_train_state, make_predict_step
+    from ..utils.checkpoint import CheckpointManager
+    from ..utils.metrics import plot_predictions
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    list_dir = args.selected_list_dir or args.source_data_root
+    keys = load_key_list(os.path.join(list_dir, args.list_filename))
+    src = find_dataset_files(args.source_data_root, keys,
+                             hp.source_file_extension)
+    tgt = find_dataset_files(args.target_data_root, keys,
+                             hp.target_file_extension)
+    # prediction merges targets into features (reference:
+    # predict_mel.py:39-45 merge_target_to_source): targets provide the
+    # ground truth for the prediction records
+    ds = dataset_factory(src, tgt, hp, batch_size=1, shuffle=False,
+                         target_kind=kind if kind != "mel" else "mel")
+
+    model = tacotron_model_factory(hp)
+    sample = to_model_batch(next(iter(ds)))
+    state = create_train_state(model, hp, sample, jax.random.PRNGKey(hp.seed))
+    ckpt = CheckpointManager(args.checkpoint_dir)
+    step = int(args.checkpoint) if args.checkpoint else None
+    restored = ckpt.restore(state, step=step)
+    if restored is None:
+        log.error("no checkpoint found in %s", args.checkpoint_dir)
+        return 1
+    state = restored
+    log.info("restored checkpoint step %d", int(state.step))
+    predict_step = make_predict_step(model, hp)
+
+    count = 0
+    for nb in ds:
+        if args.limit is not None and count >= args.limit:
+            break
+        mb = to_model_batch(nb)
+        infer_mb = mb._replace(done=None) if kind == "mel" else mb
+        out = predict_step(state, infer_mb)
+        meta = nb.meta[0]
+        r = hp.outputs_per_step
+        n_steps = int(out.lengths[0])
+        n_frames = n_steps * r
+
+        if kind == "codes":
+            codes = np.asarray(out.code_output[0, :n_frames])
+            ground_truth = (nb.target[0, :int(nb.target_length[0])]
+                            if nb.target is not None else np.zeros((0, hp.num_mels)))
+            payload = codes
+        else:
+            payload = np.asarray(out.outputs[0, :n_frames])
+            ground_truth = (nb.target[0, :int(nb.target_length[0])]
+                            if nb.target is not None else None)
+
+        # .mfbsp float32 dump (reference: predict_mel.py:56-60)
+        mfbsp = os.path.join(args.output_dir,
+                             f"{meta.key}.{hp.predicted_mel_extension}")
+        payload.astype("<f4").tofile(mfbsp, format="<f4")
+
+        # alignment PNG (reference: plot_predictions call predict_mel.py:62)
+        aligns = [np.asarray(a[0]) for a in out.alignments]
+        aligns += [np.asarray(a[0]) for a in
+                   out.decoder_self_attention_alignments[:2]]
+        png = os.path.join(args.output_dir, f"{meta.key}.png")
+        plot_predictions(aligns, ground_truth, payload, meta.text, meta.key,
+                         png)
+
+        # prediction TFRecord (reference: write_prediction_result)
+        rec_path = os.path.join(args.output_dir, f"{meta.key}.tfrecord")
+        source = nb.source[0, :int(nb.source_length[0])]
+        if kind == "codes":
+            write_prediction_record(
+                PredictionRecord(id=meta.id, key=meta.key, codes=codes,
+                                 ground_truth_codes=ground_truth,
+                                 text=meta.text, source=source), rec_path)
+        else:
+            write_mel_prediction_record(
+                MelPredictionRecord(id=meta.id, key=meta.key, mel=payload,
+                                    ground_truth_mel=ground_truth,
+                                    alignment=aligns[0], text=meta.text,
+                                    source=source), rec_path)
+        log.info("predicted %s (%d frames)", meta.key, n_frames)
+        count += 1
+    log.info("wrote %d predictions to %s", count, args.output_dir)
+    return 0
+
+
+def main_mel(argv=None) -> int:
+    return predict("mel", argv)
+
+
+def main_code(argv=None) -> int:
+    return predict("codes", argv)
+
+
+if __name__ == "__main__":
+    kind = "codes" if "code" in os.path.basename(sys.argv[0]) else "mel"
+    sys.exit(predict(kind))

@@ -1,0 +1,209 @@
+"""Training CLI: train + periodic evaluation + checkpointing.
+
+Parity target: reference train.py — flags, hparams layering
+(defaults -> --hparam-json-file -> --hparams, train.py:110-115), key-list
+driven datasets (train.py:117-123), periodic checkpoint+eval
+(RunConfig(save_checkpoints_steps) + eval hooks, train.py:69-87), warm start
+(train.py:75-77), file logging (train.py:128-135), profiler flag
+(models/models.py:201-204).
+
+Usage:
+  python -m self_attention_tacotron_tpu.cli.train --source-data-root=<dir>
+      --target-data-root=<dir> --checkpoint-dir=<dir>
+      [--selected-list-dir=<dir>] [--hparams=<parmas>]
+      [--hparam-json-file=<path>] [--dataset-kind=<kind>]
+      [--max-steps=<n>] [--multi-gpus]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--source-data-root", required=True)
+    p.add_argument("--target-data-root", required=True)
+    p.add_argument("--checkpoint-dir", required=True)
+    p.add_argument("--selected-list-dir", default=None)
+    p.add_argument("--hparams", default="")
+    p.add_argument("--hparam-json-file", default=None)
+    p.add_argument("--dataset-kind", default=None,
+                   help="codes|mel|mgclf0 (default: derived from hp.dataset)")
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--multi-gpus", action="store_true",
+                   help="accepted for reference-CLI parity; SPMD data "
+                        "parallelism engages automatically on multi-device "
+                        "meshes")
+    return p
+
+
+def load_hparams(args):
+    from ..config import default_hparams
+    hp = default_hparams()
+    if args.hparam_json_file:
+        hp.parse_json_file(args.hparam_json_file)
+    hp.parse(args.hparams)
+    return hp
+
+
+def setup_logging(hp, checkpoint_dir):
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    logfile = os.path.join(checkpoint_dir, os.path.basename(hp.logfile))
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s",
+        handlers=[logging.StreamHandler(sys.stdout),
+                  logging.FileHandler(logfile)])
+    return logging.getLogger("train")
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+    hp = load_hparams(args)
+    log = setup_logging(hp, args.checkpoint_dir)
+    from ..config import hparams_debug_string
+    log.info(hparams_debug_string(hp))
+
+    from ..data.dataset import (dataset_factory, find_dataset_files,
+                                load_key_list, to_model_batch)
+    from ..models import tacotron_model_factory, compute_loss
+    from ..parallel import (create_mesh, create_train_state, make_eval_step,
+                            make_train_step)
+    from ..parallel.mesh import replicated_sharding, shard_batch
+    from ..utils.checkpoint import CheckpointManager, warm_start
+    from ..utils.metrics import MetricsLogger, MetricsSaver
+
+    list_dir = args.selected_list_dir or args.source_data_root
+    train_keys = load_key_list(os.path.join(list_dir, "train.csv"))
+    val_keys = load_key_list(os.path.join(list_dir, "validation.csv"))
+    log.info("train %d validation %d", len(train_keys), len(val_keys))
+
+    def files(keys):
+        return (find_dataset_files(args.source_data_root, keys,
+                                   hp.source_file_extension),
+                find_dataset_files(args.target_data_root, keys,
+                                   hp.target_file_extension))
+
+    train_src, train_tgt = files(train_keys)
+    val_src, val_tgt = files(val_keys)
+    kind_kw = {"target_kind": args.dataset_kind} if args.dataset_kind else {}
+    train_ds = dataset_factory(train_src, train_tgt, hp, shuffle=True,
+                               repeat=True, drop_remainder=True, **kind_kw)
+    val_ds_factory = lambda: dataset_factory(
+        val_src, val_tgt, hp, batch_size=1, shuffle=False, **kind_kw)
+
+    model = tacotron_model_factory(hp)
+    mesh = create_mesh(hp.mesh_shape, hp.mesh_axis_names)
+    n_dev = int(mesh.devices.size)
+    if hp.batch_size % n_dev != 0:
+        # batch must shard evenly over the data axis; shrink the mesh to the
+        # largest divisor of batch_size (1 in the worst case)
+        divisor = max(d for d in range(1, n_dev + 1)
+                      if hp.batch_size % d == 0)
+        log.warning("batch_size %d not divisible by %d devices; using %d",
+                    hp.batch_size, n_dev, divisor)
+        n_dev = divisor
+        mesh = create_mesh(devices=jax.devices()[:n_dev])
+    log.info("mesh: %s devices", n_dev)
+
+    sample = to_model_batch(next(iter(train_ds)))
+    state = create_train_state(model, hp, sample, jax.random.PRNGKey(hp.seed))
+    if hp.warm_start and hp.ckpt_to_initialize_from:
+        log.info("warm starting from %s", hp.ckpt_to_initialize_from)
+        new_params = warm_start(state.params, hp.ckpt_to_initialize_from,
+                                hp.vars_to_warm_start)
+        state = state._replace(params=new_params)
+
+    ckpt = CheckpointManager(args.checkpoint_dir,
+                             save_interval_steps=hp.save_checkpoints_steps,
+                             max_to_keep=hp.keep_checkpoint_max,
+                             async_save=hp.checkpoint_async)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state = restored
+        log.info("resumed from step %d", int(state.step))
+
+    if n_dev > 1:
+        state = jax.device_put(state, replicated_sharding(mesh))
+
+    train_step = make_train_step(model, hp, mesh=mesh if n_dev > 1 else None)
+    eval_step = make_eval_step(model, hp)
+    metrics_log = MetricsLogger(args.checkpoint_dir)
+    eval_saver = MetricsSaver(os.path.join(args.checkpoint_dir, "eval"),
+                              save_steps=1, mode="eval",
+                              keep_max=hp.keep_eval_results_max_epoch)
+
+    rng = jax.random.PRNGKey(hp.seed)
+    t_last = time.time()
+    profiling = False
+
+    def run_eval(step_no):
+        n = 0
+        acc = {}
+        for nb in val_ds_factory():
+            if n >= hp.num_evaluation_steps:
+                break
+            mb = to_model_batch(nb)
+            metrics, out_free, out_teacher = eval_step(state, mb)
+            for k, v in metrics.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+            if n == 0:
+                aligns = [np.asarray(a[0]) for a in out_free.alignments]
+                pred = np.asarray(out_free.outputs[0])
+                gt = nb.target[0] if nb.target is not None else None
+                eval_saver.save(step_no, nb.meta[0].key, nb.meta[0].text,
+                                aligns, gt, pred)
+            n += 1
+        if n:
+            acc = {k: v / n for k, v in acc.items()}
+            metrics_log.log(step_no, acc, prefix="eval/")
+            log.info("eval @%d: %s", step_no,
+                     {k: round(v, 5) for k, v in acc.items()})
+
+    for nb in train_ds.prefetch():
+        step_no = int(state.step)
+        if args.max_steps is not None and step_no >= args.max_steps:
+            break
+        mb = to_model_batch(nb)
+        if n_dev > 1:
+            if nb.source.shape[0] % n_dev != 0:
+                continue  # partial batches are not shardable
+            mb = shard_batch(mb, mesh)
+        if hp.record_profile and not profiling and step_no == hp.profile_steps:
+            jax.profiler.start_trace(os.path.join(args.checkpoint_dir,
+                                                  "profile"))
+            profiling = True
+        state, metrics = train_step(state, mb, rng)
+        step_no = int(state.step)
+        if profiling and step_no >= hp.profile_steps + 5:
+            jax.profiler.stop_trace()
+            profiling = False
+        if step_no % hp.log_step_count_steps == 0:
+            dt = time.time() - t_last
+            t_last = time.time()
+            scalars = {k: float(v) for k, v in metrics.items()}
+            scalars["sec_per_step"] = dt / hp.log_step_count_steps
+            metrics_log.log(step_no, scalars)
+            log.info("step %d loss %.5f (%.3fs)", step_no, scalars["loss"],
+                     scalars["sec_per_step"])
+        if ckpt.save(step_no, jax.device_get(state)):
+            log.info("checkpoint @%d", step_no)
+            run_eval(step_no)
+
+    ckpt.save(int(state.step), jax.device_get(state), force=True)
+    ckpt.wait()
+    ckpt.close()
+    metrics_log.close()
+    log.info("done at step %d", int(state.step))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -393,11 +393,13 @@ def dataset_factory(source_files, target_files, hp: HParams,
     codes_siwis.dataset.DatasetSource, vctk.dataset.DatasetSource,
     ljspeech.dataset.DatasetSource, mgclf0 variants.
     """
-    name = hp.dataset.lower()
-    if "codes" in name:
-        kind = "codes"
-    elif "mgc" in name or "lf0" in name:
-        kind = "mgclf0"
-    else:
-        kind = "mel"  # vctk / ljspeech mel targets
+    kind = kwargs.pop("target_kind", None)
+    if kind is None:
+        name = hp.dataset.lower()
+        if "codes" in name:
+            kind = "codes"
+        elif "mgc" in name or "lf0" in name:
+            kind = "mgclf0"
+        else:
+            kind = "mel"  # vctk / ljspeech mel targets
     return Dataset(source_files, target_files, hp, target_kind=kind, **kwargs)
