@@ -105,6 +105,7 @@ class TacotronDecoder(nn.Module):
     self_attention_drop_rate: float = 0.05
     use_speaker_embed: bool = False
     feedback_softmax: bool = False   # one-hot code models feed softmax probs
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------- submodules
@@ -151,7 +152,8 @@ class TacotronDecoder(nn.Module):
                     self.self_attention_out_units,
                     self.self_attention_num_heads,
                     self.self_attention_drop_rate,
-                    use_subsequent_mask=True, dtype=self.dtype,
+                    use_subsequent_mask=True, use_pallas=self.use_pallas,
+                    dtype=self.dtype,
                     name=f"transformer_{i}")
                 for i in range(self.self_attention_num_hop))
 

@@ -116,13 +116,15 @@ class SelfAttentionTransformer(nn.Module):
     self_attention_num_heads: int = 2
     self_attention_drop_rate: float = 0.05
     use_subsequent_mask: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.self_attention = SelfAttention(
             self.self_attention_out_units, self.self_attention_num_heads,
             self.self_attention_drop_rate,
-            use_subsequent_mask=self.use_subsequent_mask, dtype=self.dtype)
+            use_subsequent_mask=self.use_subsequent_mask,
+            use_pallas=self.use_pallas, dtype=self.dtype)
         self.transform = nn.Dense(self.out_units, kernel_init=glorot,
                                   dtype=self.dtype)
 
@@ -313,6 +315,7 @@ class SelfAttentionCBHGEncoder(nn.Module):
     zoneout_factor_cell: float = 0.0
     zoneout_factor_output: float = 0.0
     self_attention_drop_rate: float = 0.1
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -337,7 +340,8 @@ class SelfAttentionCBHGEncoder(nn.Module):
             sa, heads = SelfAttentionTransformer(
                 self.self_attention_out_units, self.self_attention_out_units,
                 self.self_attention_num_heads, self.self_attention_drop_rate,
-                use_subsequent_mask=False, dtype=self.dtype,
+                use_subsequent_mask=False, use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"self_attention_{i}")(
                 sa, memory_sequence_length=input_lengths,
                 deterministic=not is_training)
@@ -364,6 +368,7 @@ class SelfAttentionCBHGEncoderWithAccentType(nn.Module):
     zoneout_factor_cell: float = 0.0
     zoneout_factor_output: float = 0.0
     self_attention_drop_rate: float = 0.1
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -393,7 +398,8 @@ class SelfAttentionCBHGEncoderWithAccentType(nn.Module):
             sa, heads = SelfAttentionTransformer(
                 self.self_attention_out_units, self.self_attention_out_units,
                 self.self_attention_num_heads, self.self_attention_drop_rate,
-                use_subsequent_mask=False, dtype=self.dtype,
+                use_subsequent_mask=False, use_pallas=self.use_pallas,
+                dtype=self.dtype,
                 name=f"self_attention_{i}")(
                 sa, memory_sequence_length=input_lengths,
                 deterministic=not is_training)

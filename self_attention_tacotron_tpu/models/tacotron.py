@@ -191,6 +191,7 @@ class TacotronModel(nn.Module):
                 self_attention_num_hop=hp.self_attention_num_hop,
                 prenet_out_units=hp.encoder_prenet_out_units,
                 self_attention_drop_rate=hp.self_attention_drop_rate,
+                use_pallas=hp.use_pallas_attention,
                 **common)
         elif enc == "SelfAttentionCBHGEncoderWithAccentType":
             self.encoder = SelfAttentionCBHGEncoderWithAccentType(
@@ -200,6 +201,7 @@ class TacotronModel(nn.Module):
                 prenet_out_units=hp.encoder_prenet_out_units_if_accent,
                 accent_type_prenet_out_units=hp.accent_type_prenet_out_units,
                 self_attention_drop_rate=hp.self_attention_drop_rate,
+                use_pallas=hp.use_pallas_attention,
                 **common)
         elif enc == "ZoneoutEncoderV1":
             self.encoder = ZoneoutEncoderV1(
@@ -244,6 +246,7 @@ class TacotronModel(nn.Module):
             self_attention_drop_rate=hp.decoder_self_attention_drop_rate,
             use_speaker_embed=self._speaker_to_prenet(),
             feedback_softmax=self.is_code_model,
+            use_pallas=hp.use_pallas_attention,
             dtype=dtype, **cfg)
 
         if hp.use_postnet_v2:

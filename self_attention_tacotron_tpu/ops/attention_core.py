@@ -61,6 +61,9 @@ class MultiHeadAttention(nn.Module):
     drop_rate: float = 0.0
     use_padding_mask: bool = False
     use_subsequent_mask: bool = False
+    use_pallas: bool = False  # fused TPU kernel; engages when no dropout /
+    #                           padding mask is needed (alignments come back
+    #                           zeroed — probabilities never hit HBM)
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -93,6 +96,18 @@ class MultiHeadAttention(nn.Module):
         k = self._split_heads(self.key_projection(key))
         v = self._split_heads(self.value_projection(value))
         q = self._split_heads(self.query_projection(query))
+
+        dropout_active = self.drop_rate > 0.0 and not deterministic
+        if (self.use_pallas and not dropout_active
+                and not self.use_padding_mask):
+            from .pallas_attention import fused_self_attention
+            context = fused_self_attention(q, k, v,
+                                           causal=self.use_subsequent_mask)
+            output = self.output_projection(self._merge_heads(context))
+            Tq, Tk = q.shape[2], k.shape[2]
+            alignments = jnp.zeros((q.shape[0], self.num_heads, Tq, Tk),
+                                   self.dtype)
+            return output, alignments
 
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, dtype=q.dtype))
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
@@ -136,6 +151,16 @@ class MultiHeadAttention(nn.Module):
         value_cache = jax.lax.dynamic_update_slice_in_dim(
             cache.value, v_t[:, :, None, :], t, axis=2)
 
+        dropout_active = self.drop_rate > 0.0 and not deterministic
+        if self.use_pallas and not dropout_active:
+            from .pallas_attention import incremental_attention_step
+            context = incremental_attention_step(q_t, key_cache, value_cache,
+                                                 t)
+            out = self.output_projection(context.reshape(B, self.model_dim))
+            max_len = key_cache.shape[2]
+            align_row = jnp.zeros((B, self.num_heads, max_len), self.dtype)
+            return out, AttentionCache(key_cache, value_cache), align_row
+
         scale = 1.0 / jnp.sqrt(jnp.asarray(self.head_dim, dtype=q_t.dtype))
         scores = jnp.einsum("bhd,bhkd->bhk", q_t, key_cache) * scale
         max_len = key_cache.shape[2]
@@ -157,12 +182,14 @@ class SelfAttention(nn.Module):
     drop_rate: float = 0.0
     use_padding_mask: bool = False
     use_subsequent_mask: bool = False
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         self.attention = MultiHeadAttention(
             self.model_dim, self.num_heads, self.drop_rate,
-            self.use_padding_mask, self.use_subsequent_mask, self.dtype)
+            self.use_padding_mask, self.use_subsequent_mask,
+            self.use_pallas, self.dtype)
 
     def __call__(self, inputs, memory_sequence_length=None,
                  deterministic: bool = True):
