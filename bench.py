@@ -47,42 +47,33 @@ def main():
     @jax.jit
     def decode(variables, b):
         out = model.apply(variables, b, DecoderMode.INFERENCE)
-        return out.outputs, out.lengths
+        # returning a scalar too lets timing sync via host readback
+        # (block_until_ready alone can under-report through device tunnels)
+        return out.outputs, jnp.abs(out.outputs).sum()
 
     def make_infer(seed):
         src = jax.random.randint(jax.random.PRNGKey(100 + seed),
                                  (B, T_in), 1, hp.num_symbols)
         return batch._replace(target=None, done=None, source=src)
 
-    # compile + warmup
-    outputs, _ = decode(variables, make_infer(0))
-    outputs.block_until_ready()
+    import numpy as np
+
+    # compile + warmup (synced through a host scalar readback)
+    _, s = decode(variables, make_infer(0))
+    float(s)
 
     # vary the input each call (a tunnelled backend may short-circuit
-    # repeated identical executions) and block per call
+    # repeated identical executions); sync each call via scalar readback
     n_iters = 10
     times = []
     for i in range(n_iters):
         b = make_infer(i + 1)
-        jax.block_until_ready(b.source)
+        np.asarray(b.source)
         t0 = time.perf_counter()
-        outputs, _ = decode(variables, b)
-        outputs.block_until_ready()
+        _, s = decode(variables, b)
+        float(s)
         times.append(time.perf_counter() - t0)
     dt = statistics.median(times)
-
-    # dispatch-artifact guard: 450 dependent steps cannot run faster than
-    # ~1 us/step; fall back to host-materialized timing if they "did"
-    if dt < hp.max_iters * 1e-6:
-        import numpy as np
-        times = []
-        for i in range(n_iters):
-            b = make_infer(100 + i)
-            t0 = time.perf_counter()
-            outputs, _ = decode(variables, b)
-            np.asarray(outputs)
-            times.append(time.perf_counter() - t0)
-        dt = statistics.median(times)
 
     frames = hp.max_iters * hp.outputs_per_step * B
     fps = frames / dt
