@@ -139,6 +139,24 @@ def main(argv=None) -> int:
     eval_saver = MetricsSaver(os.path.join(args.checkpoint_dir, "eval"),
                               save_steps=1, mode="eval",
                               keep_max=hp.keep_eval_results_max_epoch)
+    # train-time alignment plots every alignment_save_steps
+    # (reference: MetricsSaver hook, models/models.py:191-199)
+    train_saver = MetricsSaver(os.path.join(args.checkpoint_dir, "alignments"),
+                               save_steps=hp.alignment_save_steps,
+                               mode="train")
+
+    import functools
+
+    @functools.partial(jax.jit)
+    def alignment_probe(state, mb):
+        from ..models import DecoderMode
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if state.constants:
+            variables["constants"] = state.constants
+        out = model.apply(variables, mb, DecoderMode.VALIDATION, True)
+        return out.alignments, out.outputs
 
     rng = jax.random.PRNGKey(hp.seed)
     t_last = time.time()
@@ -193,6 +211,16 @@ def main(argv=None) -> int:
             metrics_log.log(step_no, scalars)
             log.info("step %d loss %.5f (%.3fs)", step_no, scalars["loss"],
                      scalars["sec_per_step"])
+        if train_saver.should_save(step_no):
+            try:
+                aligns, outputs = alignment_probe(state, mb)
+                gt = nb.target if nb.target is not None else None
+                train_saver.save(step_no, nb.meta[0].key, nb.meta[0].text,
+                                 [np.asarray(a[0]) for a in aligns],
+                                 gt[0] if gt is not None else None,
+                                 np.asarray(outputs[0]))
+            except Exception as e:  # plots must never kill training
+                log.warning("alignment save failed: %s", e)
         if ckpt.save(step_no, jax.device_get(state)):
             log.info("checkpoint @%d", step_no)
             run_eval(step_no)

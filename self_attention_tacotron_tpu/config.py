@@ -239,6 +239,7 @@ class HParams:        # attribute of flax modules / jit closures)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     use_pallas_attention: bool = False
     decoder_min_iters: int = 10  # min decode steps before stop-token can fire
+    decoder_early_stop: bool = True  # while_loop early exit at inference
     seed: int = 12345
     checkpoint_async: bool = True
     num_parallel_reads: int = 0  # 0 -> cpu_count based (reference train.py:33-37)

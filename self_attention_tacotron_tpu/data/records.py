@@ -281,5 +281,50 @@ def parse_mel_prediction_record(example: dict) -> MelPredictionRecord:
         source=np.frombuffer(_get(example, "source")[0], np.int64))
 
 
+class MgcLf0PredictionRecord(NamedTuple):
+    """reference: utils/tfrecord.py:160-180 (mgc+lf0 flavor)."""
+
+    id: int
+    key: str
+    mgc: np.ndarray
+    ground_truth_mgc: np.ndarray
+    lf0: np.ndarray
+    ground_truth_lf0: np.ndarray
+    alignments: List[np.ndarray]
+    text: str
+    source: np.ndarray
+    accent_type: Optional[np.ndarray] = None
+
+
+def write_mgc_lf0_prediction_record(rec: MgcLf0PredictionRecord,
+                                    path: str) -> None:
+    mgc = np.asarray(rec.mgc, np.float32)
+    gt_mgc = np.asarray(rec.ground_truth_mgc, np.float32)
+    lf0 = np.asarray(rec.lf0, np.float32)
+    gt_lf0 = np.asarray(rec.ground_truth_lf0, np.float32)
+    source = np.asarray(rec.source, np.int64)
+    feats = {
+        "id": int64_feature([rec.id]),
+        "key": bytes_feature([rec.key.encode("utf-8")]),
+        "mgc": bytes_feature([mgc.tobytes()]),
+        "target_length": int64_feature([mgc.shape[0]]),
+        "mgc_width": int64_feature([mgc.shape[1]]),
+        "ground_truth_mgc": bytes_feature([gt_mgc.tobytes()]),
+        "ground_truth_target_length": int64_feature([gt_mgc.shape[0]]),
+        "lf0": bytes_feature([lf0.tobytes()]),
+        "ground_truth_lf0": bytes_feature([gt_lf0.tobytes()]),
+        "alignment": bytes_feature(
+            [np.asarray(a, np.float32).tobytes() for a in rec.alignments]
+            or [b""]),
+        "text": bytes_feature([rec.text.encode("utf-8")]),
+        "source": bytes_feature([source.tobytes()]),
+        "source_length": int64_feature([source.shape[0]]),
+        "accent_type": bytes_feature(
+            [np.asarray(rec.accent_type, np.int64).tobytes()]
+            if rec.accent_type is not None else [b""]),
+    }
+    write_example(feats, path)
+
+
 def read_first_example(path: str) -> dict:
     return next(iter(read_examples(path)))

@@ -106,6 +106,9 @@ class TacotronDecoder(nn.Module):
     use_speaker_embed: bool = False
     feedback_softmax: bool = False   # one-hot code models feed softmax probs
     use_pallas: bool = False
+    early_stop: bool = False         # while_loop inference: stop when every
+    #                                  row's stop token fired (dynamic_decode
+    #                                  early-exit semantics); scan otherwise
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------- submodules
@@ -222,6 +225,11 @@ class TacotronDecoder(nn.Module):
             return self._train_transformer_path(packs, B, num_steps,
                                                 teacher_xs, speaker_embed,
                                                 memory_lengths)
+        if (mode == DecoderMode.INFERENCE and self.early_stop
+                and not self.apply_dropout_on_inference
+                and not self.is_initializing()):  # while_loop bodies cannot
+            #                                       create params at init time
+            return self._decode_path_while(packs, B, num_steps, speaker_embed)
         return self._decode_path(packs, B, num_steps, teacher_xs, mode,
                                  teacher_forcing, speaker_embed)
 
@@ -341,7 +349,9 @@ class TacotronDecoder(nn.Module):
         (reference: modules/helpers.py)."""
         r = self.outputs_per_step
         if mode != DecoderMode.INFERENCE and teacher_forcing:
-            return teacher_x_t
+            # cast keeps the scan carry dtype stable under bf16 compute
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(self.dtype), teacher_x_t)
         feeds = []
         dims = self._frame_dims()
         for idx, (o, C) in enumerate(zip(outs, dims)):
@@ -356,6 +366,7 @@ class TacotronDecoder(nn.Module):
                     B, C * self.n_feed_frame))
             else:
                 feeds.append(o[:, -C * self.n_feed_frame:])
+        feeds = [f.astype(self.dtype) for f in feeds]
         return tuple(feeds) if self.output_kind == "mgclf0" else feeds[0]
 
     # ------------------------------------------------- train path (parallel)
@@ -463,6 +474,84 @@ class TacotronDecoder(nn.Module):
                 sa_aligns.append(rows[:, :, head, :])  # (B, T_q, T_k)
         return self._package(outs_seq, stop_seq, aligns_seq, sa_aligns,
                              lengths, num_steps)
+
+    # -------------------------------------- inference with early exit
+    def _decode_path_while(self, packs, B, num_steps, speaker_embed):
+        """dynamic_decode-style early exit: a ``while_loop`` that stops as
+        soon as every batch row's stop token has fired (and t > min_iters),
+        instead of always scanning to max_iters.  Buffer prefixes match the
+        scan path exactly; entries past ``lengths`` stay zero."""
+        mode = DecoderMode.INFERENCE
+        carry = self._initial_rnn_carry(B, packs)
+        carry["next_input"] = self._go_frame(B)
+        carry["finished"] = jnp.zeros((B, 1), bool)
+        if self.use_transformer:
+            carry["caches"] = tuple(hop.init_cache(B, num_steps)
+                                    for hop in self.transformers)
+        r = self.outputs_per_step
+        dims = self._frame_dims()
+        carry["buf_outs"] = tuple(
+            jnp.zeros((B, num_steps, C * r), self.dtype) for C in dims)
+        carry["buf_stop"] = jnp.zeros((B, num_steps, 1), self.dtype)
+        carry["buf_aligns"] = tuple(
+            jnp.zeros((B, num_steps, p.values.shape[1]), self.dtype)
+            for p in packs)
+        n_hops = len(self.transformers) if self.use_transformer else 0
+        carry["buf_sa"] = tuple(
+            jnp.zeros((B, num_steps, self.self_attention_num_heads,
+                       num_steps), self.dtype) for _ in range(n_hops))
+
+        def cond(mdl, c):
+            return (~jnp.all(c["finished"])) & (c["time"] < num_steps)
+
+        def body(mdl, c):
+            t = c["time"]
+            c2, (o2, aligns) = mdl._rnn_step(c, c["next_input"], packs,
+                                             speaker_embed, is_training=False)
+            y_t = o2
+            sa_rows = []
+            if mdl.use_transformer:
+                new_caches = []
+                for hop, cache in zip(mdl.transformers, c2["caches"]):
+                    y_t, cache, row = hop.step(y_t, t, cache,
+                                               deterministic=True)
+                    new_caches.append(cache)
+                    sa_rows.append(row)
+                c2["caches"] = tuple(new_caches)
+            outs_t, stop_t = mdl._heads_full(y_t[:, None, :])
+            outs_t = tuple(o[:, 0] for o in outs_t)
+            stop_t = stop_t[:, 0]
+
+            c2["finished"] = c["finished"] | (
+                (jax.nn.sigmoid(stop_t) > 0.5) & (t > mdl.min_iters))
+            c2["next_input"] = mdl._next_input_from_output(
+                outs_t, mode, False, None)
+            c2["buf_outs"] = tuple(
+                jax.lax.dynamic_update_slice_in_dim(buf, o[:, None, :], t,
+                                                    axis=1)
+                for buf, o in zip(c["buf_outs"], outs_t))
+            c2["buf_stop"] = jax.lax.dynamic_update_slice_in_dim(
+                c["buf_stop"], stop_t[:, None, :], t, axis=1)
+            c2["buf_aligns"] = tuple(
+                jax.lax.dynamic_update_slice_in_dim(buf, a[:, None, :], t,
+                                                    axis=1)
+                for buf, a in zip(c["buf_aligns"], aligns))
+            c2["buf_sa"] = tuple(
+                jax.lax.dynamic_update_slice_in_dim(buf, row[:, None], t,
+                                                    axis=1)
+                for buf, row in zip(c["buf_sa"], sa_rows))
+            return c2
+
+        final = nn.while_loop(cond, body, self, carry)
+        steps_taken = final["time"]
+        lengths = jnp.full((B,), steps_taken, jnp.int32)
+        sa_aligns: List[jax.Array] = []
+        for rows in final["buf_sa"]:  # (B, T_q, H, T_k)
+            for head in range(rows.shape[2]):
+                sa_aligns.append(rows[:, :, head, :])
+        return self._package(final["buf_outs"], final["buf_stop"],
+                             final["buf_aligns"], sa_aligns, lengths,
+                             num_steps)
 
     def _go_frame(self, B):
         dims = self._frame_dims()

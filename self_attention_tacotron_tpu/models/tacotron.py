@@ -247,6 +247,7 @@ class TacotronModel(nn.Module):
             use_speaker_embed=self._speaker_to_prenet(),
             feedback_softmax=self.is_code_model,
             use_pallas=hp.use_pallas_attention,
+            early_stop=hp.decoder_early_stop,
             dtype=dtype, **cfg)
 
         if hp.use_postnet_v2:
