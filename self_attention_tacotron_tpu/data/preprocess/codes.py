@@ -125,8 +125,10 @@ class CODES:
 
 class SiwisCodes(CODES):
     """Bilingual SIWIS variant (reference: preprocess/siwis_codes.py):
-    speaker info from siwis-speaker-info.txt, language from the filename
-    (EN/FR prefix)."""
+    headerless ``siwis-speaker-info.txt`` of string speaker ids + language
+    ('EN-26 EN'); files are ``<speaker>_*.txt``; the language rides in the
+    record's lang field.  String speaker ids map to stable integers by
+    enumeration order (the downstream speaker embedding indexes integers)."""
 
     def __init__(self, in_dir: str, out_dir: str, version: int,
                  num_codes: int, hparams: HParams,
@@ -136,11 +138,30 @@ class SiwisCodes(CODES):
 
     @staticmethod
     def _lang_of(filename: str) -> str:
-        upper = filename.upper()
-        return "FR" if ("FR" in upper.split("_")[0] or upper.startswith("F")) \
-            else "EN"
+        return "FR" if filename.upper().startswith("FR") else "EN"
+
+    def _speakers(self):
+        info_path = (self.speaker_info_filename
+                     if os.path.exists(self.speaker_info_filename)
+                     else os.path.join(self.in_dir,
+                                       self.speaker_info_filename))
+        with open(info_path, encoding="utf8") as f:
+            for line in f:
+                si = line.split()
+                if si:
+                    yield si[0], (si[1] if len(si) > 1 else "EN")
 
     def list_files(self) -> List[TxtCodeRecord]:
-        base = super().list_files()
-        return [r._replace(lang=self._lang_of(os.path.basename(r.txt_path)))
-                for r in base]
+        records = []
+        for idx, (spk, lang) in enumerate(self._speakers()):
+            files = sorted(f for f in os.listdir(self.in_dir)
+                           if f.endswith(".txt") and f.startswith(spk))
+            for f in files:
+                key = f[:-4]
+                path = os.path.join(self.in_dir, f)
+                records.append(TxtCodeRecord(
+                    0, key, path, path, SpeakerInfo(idx, 0, -1),
+                    self._lang_of(os.path.basename(f))))
+        return [TxtCodeRecord(i, r.key, r.txt_path, r.code_path,
+                              r.speaker_info, r.lang)
+                for i, r in enumerate(records)]
