@@ -313,7 +313,10 @@ class Dataset:
         buckets: dict = {}
         for u in self._utterances():
             if u.target is None:
-                yield pad_batch([u], self.hp, self.target_kind)
+                # quantize source pads so predict compiles once per size class
+                yield pad_batch([u], self.hp, self.target_kind,
+                                source_pad=self.bucketing.source_pad_length(
+                                    u.source_length))
                 continue
             bid = self.bucketing.bucket_id(u.target_length)
             buckets.setdefault(bid, []).append(u)
