@@ -36,6 +36,9 @@ def main():
 
     hp = _flagship_hparams(tiny=False)
     hp.max_iters = 450
+    # measure the full 450-step decode, not the early-exit path (randomly
+    # initialized stop tokens fire after ~min_iters steps)
+    hp.decoder_early_stop = False
     B, T_in = 1, 64
     batch = _make_batch(hp, B=B, T_in=T_in, T_out=32)
     model = tacotron_model_factory(hp)
