@@ -9,6 +9,16 @@ output history each frame, O(T^2) per step
 (reference: modules/rnn_wrappers.py:87-124, modules/module.py:767-784);
 ours is a KV-cache linear-cost ``lax.scan``.
 
+Methodology: the TPU here sits behind a device tunnel whose blocking
+host<->device round-trip is ~25 ms — larger than the decode itself — so
+per-call wall timing measures the tunnel, not the chip.  We instead time
+chains of N back-to-back decodes whose inputs are data-dependent on the
+previous decode's output (so they serialize on device and cannot be
+memoized), sync once at the end, and take the slope between a short and a
+long chain.  That is the steady-state per-decode device time, which is the
+number that matters for production serving (requests are pipelined; the
+round-trip is paid once, not per utterance).
+
 vs_baseline: the reference publishes no numbers (BASELINE.md).  We use an
 estimated 500 frames/sec for the TF1 reference's single-GPU batch-1 decode
 (typical for graph-mode TF1 seq2seq with per-step host dispatch and the
@@ -48,38 +58,32 @@ def main():
     jax.block_until_ready(variables)
 
     @jax.jit
-    def decode(variables, b):
+    def decode_chain(variables, b, salt):
+        # the salt is derived from the previous decode's outputs, so chained
+        # calls serialize on device, see different source ids each link, and
+        # cannot be short-circuited by any caching layer in the tunnel
+        b = b._replace(source=(b.source + salt) % (hp.num_symbols - 1) + 1)
         out = model.apply(variables, b, DecoderMode.INFERENCE)
-        # returning a scalar too lets timing sync via host readback
-        # (block_until_ready alone can under-report through device tunnels)
-        return out.outputs, jnp.abs(out.outputs).sum()
+        return (jnp.abs(out.outputs).sum().astype(jnp.int32) % 7)
 
-    def make_infer(seed):
-        src = jax.random.randint(jax.random.PRNGKey(100 + seed),
-                                 (B, T_in), 1, hp.num_symbols)
-        return batch._replace(target=None, done=None, source=src)
+    b = batch._replace(target=None, done=None)
 
-    import numpy as np
-
-    # compile + warmup (synced through a host scalar readback)
-    _, s = decode(variables, make_infer(0))
-    float(s)
-
-    # vary the input each call (a tunnelled backend may short-circuit
-    # repeated identical executions); sync each call via scalar readback
-    n_iters = 10
-    times = []
-    for i in range(n_iters):
-        b = make_infer(i + 1)
-        np.asarray(b.source)
+    def run_chain(n, seed):
+        salt = jnp.asarray(seed, jnp.int32)
         t0 = time.perf_counter()
-        _, s = decode(variables, b)
-        float(s)
-        times.append(time.perf_counter() - t0)
-    dt = statistics.median(times)
+        for _ in range(n):
+            salt = decode_chain(variables, b, salt)
+        int(salt)  # one blocking sync at the end of the chain
+        return time.perf_counter() - t0
+
+    run_chain(2, 0)  # compile + warmup
+    n_short, n_long, reps = 2, 16, 3
+    t_short = statistics.median(run_chain(n_short, r) for r in range(reps))
+    t_long = statistics.median(run_chain(n_long, r + 10) for r in range(reps))
+    per_decode = (t_long - t_short) / (n_long - n_short)
 
     frames = hp.max_iters * hp.outputs_per_step * B
-    fps = frames / dt
+    fps = frames / per_decode
 
     print(json.dumps({
         "metric": "decoder_frames_per_sec_per_chip",
