@@ -49,6 +49,10 @@ def main():
     # measure the full 450-step decode, not the early-exit path (randomly
     # initialized stop tokens fire after ~min_iters steps)
     hp.decoder_early_stop = False
+    # production serving path: the whole decode loop as one Pallas kernel
+    # with VMEM-resident weights (ops/fused_decode.py; parity vs the scan
+    # path in tests/test_fused_decode.py + scripts/check_fused_decode.py)
+    hp.decoder_fused_inference = True
     B, T_in = 1, 64
     batch = _make_batch(hp, B=B, T_in=T_in, T_out=32)
     model = tacotron_model_factory(hp)

@@ -1,0 +1,107 @@
+"""On-TPU check + timing of the whole-loop fused decode kernel.
+
+Runs the same fused-vs-scan comparison as tests/test_fused_decode.py but
+compiled on the real chip, on both the tiny config and the flagship
+configuration, then times scan vs fused with the chained-dispatch method
+(see bench.py docstring for why per-call timing measures the tunnel).
+
+Usage: python scripts/check_fused_decode.py
+"""
+
+import statistics
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from __graft_entry__ import _flagship_hparams, _make_batch
+from self_attention_tacotron_tpu.models import DecoderMode, tacotron_model_factory
+
+
+def compare(hp, label, tol):
+    batch = _make_batch(hp, B=1, T_in=16, T_out=8)
+    infer = batch._replace(target=None, done=None)
+    model = tacotron_model_factory(hp)
+    variables = jax.jit(lambda k, b: model.init({"params": k}, b,
+                                                DecoderMode.VALIDATION, True))(
+        jax.random.PRNGKey(0), batch)
+    ref = jax.jit(lambda v, b: model.apply(v, b, DecoderMode.INFERENCE))(
+        variables, infer)
+    fm = tacotron_model_factory(hp.replace(decoder_fused_inference=True))
+    fused = jax.jit(lambda v, b: fm.apply(v, b, DecoderMode.INFERENCE))(
+        variables, infer)
+    err = float(jnp.max(jnp.abs(fused.outputs - ref.outputs)))
+    scale = float(jnp.max(jnp.abs(ref.outputs)))
+    rel = err / max(scale, 1e-6)
+    same_ids = bool(jnp.all(fused.predicted_samples == ref.predicted_samples))
+    print(f"{label:28s} max|diff|={err:.3e} rel={rel:.3e} "
+          f"ids_match={same_ids} lengths {int(fused.lengths[0])}=="
+          f"{int(ref.lengths[0])}")
+    # exact-math parity is gated by tests/test_fused_decode.py (interpret
+    # mode); on-chip the scan (XLA) and fused (Mosaic) paths accumulate MXU
+    # products differently at default f32 precision, so compare relative
+    assert rel <= tol, (label, rel)
+    assert same_ids, label
+    return err
+
+
+def time_decode(hp, label):
+    B, T_in = 1, 64
+    batch = _make_batch(hp, B=B, T_in=T_in, T_out=32)
+    model = tacotron_model_factory(hp)
+    variables = jax.jit(lambda k, b: model.init({"params": k}, b,
+                                                DecoderMode.VALIDATION, True))(
+        jax.random.PRNGKey(0), batch)
+    b = batch._replace(target=None, done=None)
+
+    @jax.jit
+    def chain(variables, b, salt):
+        bb = b._replace(source=(b.source + salt) % (hp.num_symbols - 1) + 1)
+        out = model.apply(variables, bb, DecoderMode.INFERENCE)
+        return (jnp.abs(out.outputs).sum().astype(jnp.int32) % 7)
+
+    def run(n, seed):
+        salt = jnp.asarray(seed, jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            salt = chain(variables, b, salt)
+        int(salt)
+        return time.perf_counter() - t0
+
+    run(2, 0)
+    t2 = statistics.median(run(2, r) for r in range(3))
+    t16 = statistics.median(run(16, r + 9) for r in range(3))
+    per = (t16 - t2) / 14
+    fps = hp.max_iters * hp.outputs_per_step / per
+    print(f"{label:28s} {per*1e3:7.3f} ms/decode  {fps:9.0f} frames/s")
+    return per
+
+
+def main():
+    tiny = _flagship_hparams(tiny=True)
+    tiny.max_iters = 8
+    tiny.decoder_early_stop = False
+    compare(tiny, "tiny f32", 2e-2)
+
+    flag = _flagship_hparams(tiny=False)
+    flag.max_iters = 450
+    flag.decoder_early_stop = False
+    compare(flag, "flagship f32", 5e-2)
+    flag_bf16 = flag.replace(decoder_fused_dtype="bfloat16")
+    try:
+        compare(flag_bf16.replace(max_iters=64), "flagship bf16 (64 steps)",
+                0.15)
+    except AssertionError as e:
+        print("bf16 drift over threshold:", e)
+
+    time_decode(flag, "scan path")
+    time_decode(flag.replace(decoder_fused_inference=True), "fused f32")
+    time_decode(flag_bf16.replace(decoder_fused_inference=True), "fused bf16")
+
+
+if __name__ == "__main__":
+    main()

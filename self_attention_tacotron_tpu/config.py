@@ -240,6 +240,9 @@ class HParams:        # attribute of flax modules / jit closures)
     use_pallas_attention: bool = False
     decoder_min_iters: int = 10  # min decode steps before stop-token can fire
     decoder_early_stop: bool = True  # while_loop early exit at inference
+    decoder_fused_inference: bool = False  # whole-loop Pallas decode kernel
+    #                            (ops/fused_decode.py; batch-1 serving path)
+    decoder_fused_dtype: str = "float32"  # float32 | bfloat16 in-kernel storage
     seed: int = 12345
     checkpoint_async: bool = True
     num_parallel_reads: int = 0  # 0 -> cpu_count based (reference train.py:33-37)

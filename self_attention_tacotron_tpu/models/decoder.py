@@ -109,6 +109,10 @@ class TacotronDecoder(nn.Module):
     early_stop: bool = False         # while_loop inference: stop when every
     #                                  row's stop token fired (dynamic_decode
     #                                  early-exit semantics); scan otherwise
+    fused_inference: bool = False    # whole-loop Pallas decode kernel
+    #                                  (ops/fused_decode.py); falls back to
+    #                                  the scan path outside its subset
+    fused_dtype: str = "float32"     # float32 | bfloat16 in-kernel storage
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------- submodules
@@ -225,6 +229,10 @@ class TacotronDecoder(nn.Module):
             return self._train_transformer_path(packs, B, num_steps,
                                                 teacher_xs, speaker_embed,
                                                 memory_lengths)
+        if (mode == DecoderMode.INFERENCE and self.fused_inference
+                and not self.is_initializing()
+                and self._fused_supported(B, teacher_alignments)):
+            return self._decode_path_fused(packs, B, num_steps)
         if (mode == DecoderMode.INFERENCE and self.early_stop
                 and not self.apply_dropout_on_inference
                 and not self.is_initializing()):  # while_loop bodies cannot
@@ -474,6 +482,103 @@ class TacotronDecoder(nn.Module):
                 sa_aligns.append(rows[:, :, head, :])  # (B, T_q, T_k)
         return self._package(outs_seq, stop_seq, aligns_seq, sa_aligns,
                              lengths, num_steps)
+
+    # ------------------------------- whole-loop fused Pallas inference
+    def _fused_supported(self, B, teacher_alignments) -> bool:
+        """The fused kernel covers the serving configuration (see
+        ops/fused_decode.py docstring); anything else uses the scan path."""
+        from .attention import AdditiveAttention
+        return (B == 1
+                and self.output_kind == "single"
+                and not self.use_speaker_embed
+                and not self.apply_dropout_on_inference
+                and teacher_alignments is None
+                and all(isinstance(m, AdditiveAttention)
+                        for m in self.attention_mechanisms))
+
+    def _decode_path_fused(self, packs, B, num_steps):
+        """Run ops/fused_decode.fused_decode on this module's bound params.
+
+        Identical math to ``_decode_path`` in INFERENCE mode (verified in
+        tests/test_fused_decode.py); decoder self-attention alignment
+        probabilities are not materialized (returned as zeros), like the
+        ``use_pallas`` attention mode.
+        """
+        from ..ops import fused_decode as fd
+
+        def p(module):
+            return module.variables["params"]
+
+        def row(b):
+            return jnp.asarray(b).reshape(1, -1)
+
+        prenet_p = p(self.prenets)
+        prenet = tuple(
+            (prenet_p[f"prenet_{i}"]["dense"]["kernel"],
+             row(prenet_p[f"prenet_{i}"]["dense"]["bias"]))
+            for i in range(len(self.prenet_out_units)))
+        al = p(self.attention_lstm)
+        query = tuple(
+            (p(m)["query_layer"]["kernel"], jnp.transpose(p(m)["attention_v"]))
+            for m in self.attention_mechanisms)
+        op = p(self.output_projection_wrapper)
+        l1, l2 = p(self.decoder_lstm1), p(self.decoder_lstm2)
+        hops = []
+        for hop in (self.transformers if self.use_transformer else ()):
+            att = p(hop)["self_attention"]["attention"]
+            flat = []
+            for name in ("key_projection", "value_projection",
+                         "query_projection", "output_projection"):
+                flat += [att[name]["kernel"], row(att[name]["bias"])]
+            flat += [p(hop)["transform"]["kernel"],
+                     row(p(hop)["transform"]["bias"])]
+            hops.append(tuple(flat))
+        out_p, stop_p = p(self.out_projection), p(self.stop_token_projection)
+        w_os = jnp.concatenate([out_p["kernel"], stop_p["kernel"]], axis=1)
+        b_os = row(jnp.concatenate([out_p["bias"], stop_p["bias"]]))
+        params = fd.FusedDecodeParams(
+            prenet=prenet, att_lstm=(al["kernel"], row(al["bias"])),
+            query=query, outproj=(op["kernel"], row(op["bias"])),
+            lstm1=(l1["kernel"], row(l1["bias"])),
+            lstm2=(l2["kernel"], row(l2["bias"])),
+            hops=tuple(hops), head=(w_os, b_os))
+        memory = fd.FusedDecodeMemory(
+            keys=tuple(pk.keys[0] for pk in packs),
+            values=tuple(pk.values[0] for pk in packs),
+            masks=tuple(pk.mask[0].astype(jnp.float32)[:, None]
+                        for pk in packs))
+        zc_dec = (self.zoneout_factor_cell if self.decoder_version == "v2"
+                  else 0.0)
+        zo_dec = (self.zoneout_factor_output if self.decoder_version == "v2"
+                  else 0.0)
+        out, stop, aligns = fd.fused_decode(
+            params, memory, num_steps=num_steps, num_mels=self.num_mels,
+            outputs_per_step=self.outputs_per_step,
+            n_feed_frame=self.n_feed_frame,
+            num_heads=self.self_attention_num_heads,
+            zoneout_cell=self.zoneout_factor_cell,
+            zoneout_output=self.zoneout_factor_output,
+            dec_zoneout_cell=zc_dec, dec_zoneout_output=zo_dec,
+            compute_dtype=(jnp.bfloat16 if self.fused_dtype == "bfloat16"
+                           else jnp.float32))
+
+        # lengths: same stop-token semantics as the scan path
+        S = num_steps
+        fired = ((jax.nn.sigmoid(stop) > 0.5)
+                 & (jnp.arange(S) > self.min_iters))
+        cum = jnp.cumsum(fired.astype(jnp.int32)) > 0
+        steps_taken = jnp.where(jnp.any(cum),
+                                jnp.argmax(cum) + 1, S).astype(jnp.int32)
+        lengths = jnp.full((B,), steps_taken, jnp.int32)
+
+        n_hops = len(self.transformers) if self.use_transformer else 0
+        sa_aligns = [jnp.zeros((B, S, S), self.dtype)
+                     for _ in range(n_hops * self.self_attention_num_heads)]
+        return self._package(
+            (out[None].astype(self.dtype),),
+            stop[None, :, None].astype(self.dtype),
+            tuple(a[None].astype(self.dtype) for a in aligns),
+            sa_aligns, lengths, num_steps)
 
     # -------------------------------------- inference with early exit
     def _decode_path_while(self, packs, B, num_steps, speaker_embed):

@@ -248,6 +248,8 @@ class TacotronModel(nn.Module):
             feedback_softmax=self.is_code_model,
             use_pallas=hp.use_pallas_attention,
             early_stop=hp.decoder_early_stop,
+            fused_inference=hp.decoder_fused_inference,
+            fused_dtype=hp.decoder_fused_dtype,
             dtype=dtype, **cfg)
 
         if hp.use_postnet_v2:

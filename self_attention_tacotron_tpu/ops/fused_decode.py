@@ -1,0 +1,320 @@
+"""Whole-loop fused Pallas kernel for autoregressive decoder inference.
+
+The scan-path decoder (models/decoder.py) executes ~20 small XLA kernels per
+step and re-streams every weight matrix from HBM on every one of the
+``max_iters`` iterations (~11 MB/step for the flagship configuration — the
+loop is weight-bandwidth/latency bound, not FLOP bound).  This kernel instead
+runs the ENTIRE decode loop inside ONE ``pallas_call``:
+
+* all weights are loaded HBM -> VMEM once and stay resident across all steps;
+* the per-step state (LSTM carries, previous context, feedback frame) lives
+  in registers/VMEM as a ``fori_loop`` carry;
+* the decoder self-attention KV caches are VMEM scratch;
+* outputs (code/mel rows, stop logits, alignments) are written row-by-row
+  into VMEM output buffers.
+
+Supported subset (the reference's serving configuration — everything else
+falls back to the scan path, see models/decoder.py):
+  batch size 1, output_kind "single", additive attention mechanisms
+  (1 or 2 sources), no speaker-embedding prenet routing, no inference
+  dropout, optional causal self-attention hops with KV cache.
+
+Math parity (same ops as the scan path, verified in
+tests/test_fused_decode.py):
+  prenet (Dense+ReLU stack)                  models/prenet.py
+  zoneout LSTM (i,g,f,o, forget bias 1,
+    deterministic zoneout mix)               ops/rnn.py:49-76
+  additive attention                         models/attention.py:62-89
+  causal KV-cache self-attention hop         ops/attention_core.py:138-174,
+                                             models/encoders.py:146-150
+  output/stop heads (fused into one matmul)  models/decoder.py:335-344
+  raw-frame feedback (last n_feed_frame
+    frames of the r-frame output row)        models/decoder.py:346-370
+
+Reference provenance: this replaces the TF1 reference's per-frame
+``dynamic_decode`` loop with O(T^2)-per-step self-attention over a growing
+history (reference: modules/rnn_wrappers.py:87-124, modules/module.py:767-784)
+with a linear-cost, single-kernel loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+class FusedDecodeParams(NamedTuple):
+    """Weights, pre-shaped for the kernel (biases as (1, N) rows)."""
+
+    prenet: Tuple[Tuple[Array, Array], ...]   # per layer (W (in,out), b (1,out))
+    att_lstm: Tuple[Array, Array]             # (Zin, 4A), (1, 4A)
+    query: Tuple[Tuple[Array, Array], ...]    # per source (Wq (A,U), v (U,1))
+    outproj: Tuple[Array, Array]              # (A+Cctx, D), (1, D)
+    lstm1: Tuple[Array, Array]                # (2D, 4D), (1, 4D)
+    lstm2: Tuple[Array, Array]
+    hops: Tuple[Tuple[Array, ...], ...]       # per hop (Wk,bk,Wv,bv,Wq,bq,
+    #                                           Wo,bo,Wt,bt)
+    head: Tuple[Array, Array]                 # (D, Cr+1), (1, Cr+1)
+
+
+class FusedDecodeMemory(NamedTuple):
+    """Precomputed encoder-side tensors (batch dim squeezed)."""
+
+    keys: Tuple[Array, ...]    # per source (T_i, U_i)
+    values: Tuple[Array, ...]  # per source (T_i, C_i)
+    masks: Tuple[Array, ...]   # per source (T_i, 1) float {1, 0}
+
+
+def _mm(a: Array, w: Array) -> Array:
+    """(1, K) @ (K, N) -> (1, N), f32 accumulation on the MXU."""
+    return jax.lax.dot_general(
+        a.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _col_t_mm(col: Array, mat: Array) -> Array:
+    """(T, 1)^T @ (T, C) -> (1, C) without materializing the transpose."""
+    return jax.lax.dot_general(
+        col.astype(mat.dtype), mat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _softmax_col(s: Array) -> Array:
+    """Numerically-stable softmax over the sublane axis of (T, 1)."""
+    m = jnp.max(s, axis=0, keepdims=True)
+    e = jnp.exp(s - m)
+    return e / jnp.sum(e, axis=0, keepdims=True)
+
+
+def _lstm(z: Array, w_ref, b_ref, c_prev: Array, h_prev: Array,
+          zc: float, zo: float) -> Tuple[Array, Array]:
+    """ZoneoutLSTMCell step (ops/rnn.py:49-76), deterministic zoneout."""
+    gates = _mm(z, w_ref[...]) + b_ref[...].astype(jnp.float32)
+    a = gates.shape[1] // 4
+    i, g = gates[:, :a], gates[:, a:2 * a]
+    f, o = gates[:, 2 * a:3 * a], gates[:, 3 * a:]
+    c_new = c_prev * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jnp.tanh(c_new) * jax.nn.sigmoid(o)
+    if zc > 0.0:
+        c_new = (1.0 - zc) * c_new + zc * c_prev
+    if zo > 0.0:
+        h_new = (1.0 - zo) * h_new + zo * h_prev
+    return c_new, h_new
+
+
+def _kernel(spec: dict, *refs):
+    """The whole decode loop.  ``refs`` order mirrors fused_decode()."""
+    ns = spec["num_sources"]
+    n_pre = spec["num_prenet"]
+    n_hops = spec["num_hops"]
+    n_heads = spec["num_heads"]
+    S = spec["num_steps"]
+    cr = spec["cr"]          # num_mels * r (output row, without stop column)
+    cf = spec["cf"]          # num_mels * n_feed_frame (feedback width)
+
+    it = iter(refs)
+    mem = [(next(it), next(it), next(it)) for _ in range(ns)]  # keys,vals,mask
+    prenet = [(next(it), next(it)) for _ in range(n_pre)]
+    att_lstm = (next(it), next(it))
+    query = [(next(it), next(it)) for _ in range(ns)]
+    outproj = (next(it), next(it))
+    lstm1 = (next(it), next(it))
+    lstm2 = (next(it), next(it))
+    hops = [tuple(next(it) for _ in range(10)) for _ in range(n_hops)]
+    head = (next(it), next(it))
+    out_ref = next(it)
+    align_refs = [next(it) for _ in range(ns)]
+    caches = [(next(it), next(it)) for _ in range(n_hops)]
+    assert next(it, None) is None
+
+    # zero the KV caches: masked-out rows are still multiplied by exactly-0
+    # probabilities, and 0 * garbage would poison the context sums
+    for kc, vc in caches:
+        kc[...] = jnp.zeros_like(kc)
+        vc[...] = jnp.zeros_like(vc)
+
+    f32 = jnp.float32
+    A = att_lstm[1].shape[1] // 4            # attention RNN units
+    D = lstm1[1].shape[1] // 4               # decoder RNN units
+    cctx = sum(int(v.shape[1]) for _, v, _ in mem)
+    head_dim = D // n_heads
+    sa_scale = 1.0 / (head_dim ** 0.5)
+
+    def body(t, carry):
+        (x, prev_ctx, h_att, c_att, h1, c1, h2, c2) = carry
+
+        # prenet stack: Dense + ReLU (inference: no dropout)
+        p = x
+        for w, b in prenet:
+            p = jax.nn.relu(_mm(p, w[...]) + b[...].astype(f32))
+
+        # attention LSTM over [prenet, prev_context]
+        z = jnp.concatenate([p, prev_ctx, h_att], axis=1)
+        c_att, h_att = _lstm(z, att_lstm[0], att_lstm[1], c_att, h_att,
+                             spec["zc_att"], spec["zo_att"])
+
+        # additive attention per source (models/attention.py:84-89)
+        ctxs = []
+        for (keys_ref, values_ref, mask_ref), (wq_ref, v_ref), a_ref in zip(
+                mem, query, align_refs):
+            pq = _mm(h_att, wq_ref[...])                       # (1, U)
+            e = jnp.tanh(keys_ref[...].astype(f32) + pq)       # (T, U)
+            e_col = _mm_col(e, v_ref[...])                     # (T, 1)
+            e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
+            a_col = _softmax_col(e_col)
+            a_ref[pl.ds(t, 1), :] = jnp.transpose(a_col).astype(a_ref.dtype)
+            ctxs.append(_col_t_mm(a_col, values_ref[...]))     # (1, C_i)
+        ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
+
+        # DecoderRNNV1/V2: projection + two residual LSTMs
+        proj = _mm(jnp.concatenate([h_att, ctx], axis=1), outproj[0][...]) \
+            + outproj[1][...].astype(f32)
+        c1, l1 = _lstm(jnp.concatenate([proj, h1], axis=1), lstm1[0],
+                       lstm1[1], c1, h1, spec["zc_dec"], spec["zo_dec"])
+        h1 = l1
+        o1 = proj + l1
+        c2, l2 = _lstm(jnp.concatenate([o1, h2], axis=1), lstm2[0],
+                       lstm2[1], c2, h2, spec["zc_dec"], spec["zo_dec"])
+        h2 = l2
+        y = o1 + l2
+
+        # causal self-attention hops with VMEM KV cache
+        for (wk, bk, wv, bv, wq, bq, wo, bo, wt, bt), (kc, vc) in zip(
+                hops, caches):
+            k_t = _mm(y, wk[...]) + bk[...].astype(f32)
+            v_t = _mm(y, wv[...]) + bv[...].astype(f32)
+            q_t = _mm(y, wq[...]) + bq[...].astype(f32)
+            kc[pl.ds(t, 1), :] = k_t.astype(kc.dtype)
+            vc[pl.ds(t, 1), :] = v_t.astype(vc.dtype)
+            k_all = kc[...].astype(f32)                        # (S, D)
+            v_all = vc[...].astype(f32)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+            valid = pos <= t
+            hctx = []
+            for h in range(n_heads):
+                sl = slice(h * head_dim, (h + 1) * head_dim)
+                s_col = jax.lax.dot_general(
+                    k_all[:, sl], q_t[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32) * sa_scale     # (S, 1)
+                s_col = jnp.where(valid, s_col, NEG_INF)
+                p_col = _softmax_col(s_col)
+                hctx.append(_col_t_mm(p_col, v_all[:, sl]))    # (1, head_dim)
+            attn = _mm(jnp.concatenate(hctx, axis=1), wo[...]) \
+                + bo[...].astype(f32)
+            y = y + jnp.tanh(_mm(attn, wt[...]) + bt[...].astype(f32))
+
+        # fused output + stop heads: one (D, Cr+1) matmul
+        row = _mm(y, head[0][...]) + head[1][...].astype(f32)  # (1, Cr+1)
+        out_ref[pl.ds(t, 1), :] = row.astype(out_ref.dtype)
+
+        # raw-frame feedback: last n_feed_frame frames of the output row
+        x_next = row[:, cr - cf:cr]
+        return (x_next, ctx, h_att, c_att, h1, c1, h2, c2)
+
+    zeros = lambda n: jnp.zeros((1, n), f32)
+    carry0 = (zeros(cf), zeros(cctx), zeros(A), zeros(A),
+              zeros(D), zeros(D), zeros(D), zeros(D))
+    jax.lax.fori_loop(0, S, body, carry0)
+
+
+def _mm_col(a: Array, w: Array) -> Array:
+    """(T, U) @ (U, 1) -> (T, 1)."""
+    return jax.lax.dot_general(
+        a.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _nbytes(shape, dtype) -> int:
+    # lane padding to 128 and sublane padding to 8 dominate small arrays
+    rows = max(int(shape[0]), 8) if len(shape) == 2 else 8
+    cols = ((int(shape[-1]) + 127) // 128) * 128
+    return rows * cols * jnp.dtype(dtype).itemsize
+
+
+def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
+                 num_steps: int, num_mels: int, outputs_per_step: int = 1,
+                 n_feed_frame: int = 1, num_heads: int = 2,
+                 zoneout_cell: float = 0.0, zoneout_output: float = 0.0,
+                 dec_zoneout_cell: float = 0.0, dec_zoneout_output: float = 0.0,
+                 compute_dtype=jnp.float32, interpret: bool = None):
+    """Run the whole inference loop in one kernel.
+
+    Returns (out (S, num_mels*r), stop (S,), aligns tuple of (S, T_i)) in
+    float32.  ``compute_dtype`` selects the storage dtype of weights, KV
+    caches and output buffers inside the kernel (bfloat16 halves VMEM and
+    HBM traffic; LSTM states and softmax math stay float32 either way).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cdt = jnp.dtype(compute_dtype)
+    S = num_steps
+    cr = num_mels * outputs_per_step
+    cf = num_mels * n_feed_frame
+
+    spec = dict(num_sources=len(memory.keys), num_prenet=len(params.prenet),
+                num_hops=len(params.hops), num_heads=num_heads,
+                num_steps=S, cr=cr, cf=cf,
+                zc_att=float(zoneout_cell), zo_att=float(zoneout_output),
+                zc_dec=float(dec_zoneout_cell),
+                zo_dec=float(dec_zoneout_output))
+
+    def w(x):
+        return jnp.asarray(x, cdt)
+
+    ins = []
+    for k, v, m in zip(memory.keys, memory.values, memory.masks):
+        ins += [w(k), w(v), jnp.asarray(m, jnp.float32)]
+    for wt, b in params.prenet:
+        ins += [w(wt), w(b)]
+    ins += [w(params.att_lstm[0]), w(params.att_lstm[1])]
+    for wq, v in params.query:
+        ins += [w(wq), w(v)]
+    ins += [w(params.outproj[0]), w(params.outproj[1]),
+            w(params.lstm1[0]), w(params.lstm1[1]),
+            w(params.lstm2[0]), w(params.lstm2[1])]
+    for hop in params.hops:
+        ins += [w(x) for x in hop]
+    ins += [w(params.head[0]), w(params.head[1])]
+
+    # row-store buffers stay f32: Mosaic cannot prove dynamic single-row
+    # stores tile-aligned for 16-sublane (bf16) tiles; bf16 mode narrows
+    # only the weights (the dominant VMEM + bandwidth term)
+    D = params.lstm1[1].shape[1] // 4
+    out_shapes = [jax.ShapeDtypeStruct((S, cr + 1), jnp.float32)]
+    out_shapes += [jax.ShapeDtypeStruct((S, int(k.shape[0])), jnp.float32)
+                   for k in memory.keys]
+    scratch = []
+    for _ in params.hops:
+        scratch += [pltpu.VMEM((S, D), jnp.float32),
+                    pltpu.VMEM((S, D), jnp.float32)]
+
+    vmem_bytes = sum(_nbytes(x.shape, x.dtype) for x in ins)
+    vmem_bytes += sum(_nbytes(o.shape, o.dtype) for o in out_shapes)
+    vmem_bytes += len(params.hops) * 2 * _nbytes((S, D), jnp.float32)
+    vmem_limit = min(int(vmem_bytes * 1.3) + (4 << 20), 128 << 20)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, spec),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(ins),
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(*ins)
+
+    out_row = outs[0].astype(jnp.float32)
+    aligns = tuple(a.astype(jnp.float32) for a in outs[1:])
+    return out_row[:, :cr], out_row[:, cr], aligns

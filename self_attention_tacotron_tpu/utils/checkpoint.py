@@ -33,6 +33,8 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: Any, force: bool = False) -> bool:
+        if force and step in self._mgr.all_steps():
+            return False  # final save landing exactly on a periodic save
         saved = self._mgr.save(step, args=ocp.args.StandardSave(state),
                                force=force)
         return saved

@@ -1,0 +1,107 @@
+"""Parity of the whole-loop fused Pallas decode vs the lax.scan decode path.
+
+The fused kernel (ops/fused_decode.py) must reproduce the scan path's
+inference outputs exactly (same math, same step order) — the same kind of
+invariant as the reference's only test (train path == inference path,
+reference: modules/transformer_test.py:44-90), one level further down: one
+fused kernel == the multi-kernel scan.
+
+Runs in Pallas interpret mode on CPU; scripts/check_fused_decode.py runs the
+same comparison compiled on a real TPU chip.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from self_attention_tacotron_tpu.models import DecoderMode, tacotron_model_factory
+
+from test_tacotron_model import make_batch, tiny_hp
+
+
+def _infer_pair(hp_kw, seed=0):
+    """Run INFERENCE with the scan path and the fused path on shared params."""
+    hp = tiny_hp(decoder_early_stop=False, **hp_kw)
+    batch = make_batch(hp, B=1, T_in=7, T_out=6, seed=seed)
+    batch = batch._replace(target=None, done=None)
+    model = tacotron_model_factory(hp)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           make_batch(hp, B=1), DecoderMode.VALIDATION, True)
+
+    ref = model.apply(variables, batch, DecoderMode.INFERENCE)
+
+    hp_fused = hp.replace(decoder_fused_inference=True)
+    fused_model = tacotron_model_factory(hp_fused)
+    fused = fused_model.apply(variables, batch, DecoderMode.INFERENCE)
+    return ref, fused
+
+
+def _assert_close(ref, fused, tol=2e-4):
+    np.testing.assert_allclose(np.asarray(fused.outputs),
+                               np.asarray(ref.outputs), rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(fused.stop_token),
+                               np.asarray(ref.stop_token), rtol=tol, atol=tol)
+    for a, b in zip(fused.alignments, ref.alignments):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=tol, atol=tol)
+    np.testing.assert_array_equal(np.asarray(fused.predicted_samples),
+                                  np.asarray(ref.predicted_samples))
+    np.testing.assert_array_equal(np.asarray(fused.lengths),
+                                  np.asarray(ref.lengths))
+
+
+def test_fused_matches_scan_flagship():
+    """Dual-source + decoder self-attention hop (the flagship serving path)."""
+    ref, fused = _infer_pair({})
+    _assert_close(ref, fused)
+    # fused mode does not materialize self-attention probabilities
+    assert all(np.all(np.asarray(a) == 0)
+               for a in fused.decoder_self_attention_alignments)
+
+
+def test_fused_matches_scan_no_transformer():
+    ref, fused = _infer_pair({"decoder": "DualSourceDecoder"})
+    _assert_close(ref, fused)
+
+
+def test_fused_matches_scan_single_source():
+    ref, fused = _infer_pair({
+        "tacotron_model": "ExtendedTacotronV1Model",
+        "encoder": "ZoneoutEncoderV1", "decoder": "ExtendedDecoder"})
+    _assert_close(ref, fused)
+
+
+def test_fused_matches_scan_r2_feed():
+    """outputs_per_step=2 exercises the r-frame row + feedback slice."""
+    ref, fused = _infer_pair({"outputs_per_step": 2, "max_iters": 4})
+    _assert_close(ref, fused)
+
+
+def test_fused_bf16_close_to_scan():
+    hp = tiny_hp(decoder_early_stop=False)
+    batch = make_batch(hp, B=1, T_in=7, T_out=6)._replace(target=None,
+                                                          done=None)
+    model = tacotron_model_factory(hp)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           make_batch(hp, B=1), DecoderMode.VALIDATION, True)
+    ref = model.apply(variables, batch, DecoderMode.INFERENCE)
+    hp_b = hp.replace(decoder_fused_inference=True,
+                      decoder_fused_dtype="bfloat16")
+    fused = tacotron_model_factory(hp_b).apply(variables, batch,
+                                               DecoderMode.INFERENCE)
+    np.testing.assert_allclose(np.asarray(fused.outputs),
+                               np.asarray(ref.outputs), rtol=0.1, atol=0.1)
+
+
+def test_fused_fallback_batch2():
+    """Batch > 1 silently uses the scan path (outputs must be well-formed)."""
+    hp = tiny_hp(decoder_early_stop=False, decoder_fused_inference=True)
+    batch = make_batch(hp, B=2, T_in=7, T_out=6)._replace(target=None,
+                                                          done=None)
+    model = tacotron_model_factory(hp)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           make_batch(hp, B=2), DecoderMode.VALIDATION, True)
+    out = model.apply(variables, batch, DecoderMode.INFERENCE)
+    assert out.outputs.shape[0] == 2
+    assert np.isfinite(np.asarray(out.outputs)).all()
