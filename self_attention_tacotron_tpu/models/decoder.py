@@ -559,6 +559,7 @@ class TacotronDecoder(nn.Module):
             zoneout_cell=self.zoneout_factor_cell,
             zoneout_output=self.zoneout_factor_output,
             dec_zoneout_cell=zc_dec, dec_zoneout_output=zo_dec,
+            early_stop=self.early_stop, min_iters=self.min_iters,
             compute_dtype=(jnp.bfloat16 if self.fused_dtype == "bfloat16"
                            else jnp.float32))
 
@@ -570,6 +571,7 @@ class TacotronDecoder(nn.Module):
         steps_taken = jnp.where(jnp.any(cum),
                                 jnp.argmax(cum) + 1, S).astype(jnp.int32)
         lengths = jnp.full((B,), steps_taken, jnp.int32)
+
 
         n_hops = len(self.transformers) if self.use_transformer else 0
         sa_aligns = [jnp.zeros((B, S, S), self.dtype)

@@ -142,6 +142,12 @@ def _kernel(spec: dict, *refs):
     for kc, vc in caches:
         kc[...] = jnp.zeros_like(kc)
         vc[...] = jnp.zeros_like(vc)
+    if spec["early_stop"]:
+        # rows past the exit step are never written; they must read as zero
+        # (parity with the while-path buffers)
+        out_ref[...] = jnp.zeros_like(out_ref)
+        for a_ref in align_refs:
+            a_ref[...] = jnp.zeros_like(a_ref)
 
     f32 = jnp.float32
     A = att_lstm[1].shape[1] // 4            # attention RNN units
@@ -220,12 +226,33 @@ def _kernel(spec: dict, *refs):
 
         # raw-frame feedback: last n_feed_frame frames of the output row
         x_next = row[:, cr - cf:cr]
-        return (x_next, ctx, h_att, c_att, h1, c1, h2, c2)
+        stop_logit = row[0, cr]
+        return (x_next, ctx, h_att, c_att, h1, c1, h2, c2), stop_logit
 
     zeros = lambda n: jnp.zeros((1, n), f32)
     carry0 = (zeros(cf), zeros(cctx), zeros(A), zeros(A),
               zeros(D), zeros(D), zeros(D), zeros(D))
-    jax.lax.fori_loop(0, S, body, carry0)
+    if spec["early_stop"]:
+        # dynamic_decode-style early exit: a while_loop that stops as soon
+        # as the stop token fires (sigmoid > 0.5 past min_iters), matching
+        # the scan path's while_loop (models/decoder.py:_decode_path_while)
+        min_iters = spec["min_iters"]
+
+        def cond(state):
+            t, stop, _ = state
+            fired = (jax.nn.sigmoid(stop) > 0.5) & (t - 1 > min_iters)
+            return (t < S) & ~fired
+
+        def wbody(state):
+            t, _, carry = state
+            carry, stop_logit = body(t, carry)
+            return (t + 1, stop_logit, carry)
+
+        jax.lax.while_loop(cond, wbody,
+                           (jnp.asarray(0, jnp.int32),
+                            jnp.asarray(0.0, f32), carry0))
+    else:
+        jax.lax.fori_loop(0, S, lambda t, c: body(t, c)[0], carry0)
 
 
 def _mm_col(a: Array, w: Array) -> Array:
@@ -247,6 +274,7 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                  n_feed_frame: int = 1, num_heads: int = 2,
                  zoneout_cell: float = 0.0, zoneout_output: float = 0.0,
                  dec_zoneout_cell: float = 0.0, dec_zoneout_output: float = 0.0,
+                 early_stop: bool = False, min_iters: int = 10,
                  compute_dtype=jnp.float32, interpret: bool = None):
     """Run the whole inference loop in one kernel.
 
@@ -267,7 +295,8 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                 num_steps=S, cr=cr, cf=cf,
                 zc_att=float(zoneout_cell), zo_att=float(zoneout_output),
                 zc_dec=float(dec_zoneout_cell),
-                zo_dec=float(dec_zoneout_output))
+                zo_dec=float(dec_zoneout_output),
+                early_stop=bool(early_stop), min_iters=int(min_iters))
 
     def w(x):
         return jnp.asarray(x, cdt)

@@ -94,6 +94,29 @@ def test_fused_bf16_close_to_scan():
                                np.asarray(ref.outputs), rtol=0.1, atol=0.1)
 
 
+def test_fused_early_stop_matches_while_path():
+    """Fused in-kernel while_loop == the scan path's while_loop early exit,
+    with a stop token biased to fire a few steps in (zeros past the exit)."""
+    hp = tiny_hp(decoder_early_stop=True, max_iters=8, decoder_min_iters=2)
+    batch = make_batch(hp, B=1, T_in=7, T_out=6)._replace(target=None,
+                                                          done=None)
+    model = tacotron_model_factory(hp)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           make_batch(hp, B=1), DecoderMode.VALIDATION, True)
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # to dict
+    import flax
+    variables = flax.core.unfreeze(variables)
+    variables["params"]["decoder"]["stop_token_projection"]["bias"] = (
+        jnp.full((1,), 5.0))  # sigmoid ~1 -> fires at min_iters+1
+
+    ref = model.apply(variables, batch, DecoderMode.INFERENCE)
+    fused = tacotron_model_factory(
+        hp.replace(decoder_fused_inference=True)).apply(
+        variables, batch, DecoderMode.INFERENCE)
+    assert int(ref.lengths[0]) < hp.max_iters  # early exit actually happened
+    _assert_close(ref, fused)
+
+
 def test_fused_fallback_batch2():
     """Batch > 1 silently uses the scan path (outputs must be well-formed)."""
     hp = tiny_hp(decoder_early_stop=False, decoder_fused_inference=True)
