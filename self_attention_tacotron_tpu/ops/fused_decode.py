@@ -126,11 +126,13 @@ def _kernel(spec: dict, *refs):
     mem = [(next(it), next(it), next(it)) for _ in range(ns)]  # keys,vals,mask
     prenet = [(next(it), next(it)) for _ in range(n_pre)]
     att_lstm = (next(it), next(it))
-    query = [(next(it), next(it)) for _ in range(ns)]
+    query_all = next(it)              # (A, sum U_i): all query projections
+    vs = [next(it) for _ in range(ns)]  # (U_i, 1) energy vectors
     outproj = (next(it), next(it))
     lstm1 = (next(it), next(it))
     lstm2 = (next(it), next(it))
-    hops = [tuple(next(it) for _ in range(10)) for _ in range(n_hops)]
+    # per hop: fused (D, 3D) K|V|Q projection + out/transform denses
+    hops = [tuple(next(it) for _ in range(6)) for _ in range(n_hops)]
     head = (next(it), next(it))
     out_ref = next(it)
     align_refs = [next(it) for _ in range(ns)]
@@ -169,11 +171,16 @@ def _kernel(spec: dict, *refs):
         c_att, h_att = _lstm(z, att_lstm[0], att_lstm[1], c_att, h_att,
                              spec["zc_att"], spec["zo_att"])
 
-        # additive attention per source (models/attention.py:84-89)
+        # additive attention per source (models/attention.py:84-89); the
+        # per-source query projections run as one fused matmul
+        pq_all = _mm(h_att, query_all[...])                    # (1, sum U_i)
         ctxs = []
-        for (keys_ref, values_ref, mask_ref), (wq_ref, v_ref), a_ref in zip(
-                mem, query, align_refs):
-            pq = _mm(h_att, wq_ref[...])                       # (1, U)
+        u_off = 0
+        for (keys_ref, values_ref, mask_ref), v_ref, a_ref in zip(
+                mem, vs, align_refs):
+            u = int(v_ref.shape[0])
+            pq = pq_all[:, u_off:u_off + u]                    # (1, U)
+            u_off += u
             e = jnp.tanh(keys_ref[...].astype(f32) + pq)       # (T, U)
             e_col = _mm_col(e, v_ref[...])                     # (T, 1)
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
@@ -194,12 +201,14 @@ def _kernel(spec: dict, *refs):
         h2 = l2
         y = o1 + l2
 
-        # causal self-attention hops with VMEM KV cache
-        for (wk, bk, wv, bv, wq, bq, wo, bo, wt, bt), (kc, vc) in zip(
-                hops, caches):
-            k_t = _mm(y, wk[...]) + bk[...].astype(f32)
-            v_t = _mm(y, wv[...]) + bv[...].astype(f32)
-            q_t = _mm(y, wq[...]) + bq[...].astype(f32)
+        # causal self-attention hops with VMEM KV cache; K|V|Q projections
+        # fused into one (D, 3D) matmul
+        D_ = lstm1[1].shape[1] // 4
+        for (wkvq, bkvq, wo, bo, wt, bt), (kc, vc) in zip(hops, caches):
+            kvq = _mm(y, wkvq[...]) + bkvq[...].astype(f32)    # (1, 3D)
+            k_t = kvq[:, :D_]
+            v_t = kvq[:, D_:2 * D_]
+            q_t = kvq[:, 2 * D_:]
             kc[pl.ds(t, 1), :] = k_t.astype(kc.dtype)
             vc[pl.ds(t, 1), :] = v_t.astype(vc.dtype)
             k_all = kc[...].astype(f32)                        # (S, D)
@@ -307,13 +316,17 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     for wt, b in params.prenet:
         ins += [w(wt), w(b)]
     ins += [w(params.att_lstm[0]), w(params.att_lstm[1])]
-    for wq, v in params.query:
-        ins += [w(wq), w(v)]
+    # all source query projections fused into one matmul
+    ins += [w(jnp.concatenate([wq for wq, _ in params.query], axis=1))]
+    ins += [w(v) for _, v in params.query]
     ins += [w(params.outproj[0]), w(params.outproj[1]),
             w(params.lstm1[0]), w(params.lstm1[1]),
             w(params.lstm2[0]), w(params.lstm2[1])]
-    for hop in params.hops:
-        ins += [w(x) for x in hop]
+    for wk, bk, wv, bv, wq, bq, wo, bo, wt, bt in params.hops:
+        # K|V|Q fused into one (D, 3D) projection
+        ins += [w(jnp.concatenate([wk, wv, wq], axis=1)),
+                w(jnp.concatenate([bk, bv, bq], axis=1)),
+                w(wo), w(bo), w(wt), w(bt)]
     ins += [w(params.head[0]), w(params.head[1])]
 
     # row-store buffers stay f32: Mosaic cannot prove dynamic single-row
