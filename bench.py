@@ -81,7 +81,9 @@ def main():
         return time.perf_counter() - t0
 
     run_chain(2, 0)  # compile + warmup
-    n_short, n_long, reps = 2, 16, 3
+    # longer chains + more reps: run-to-run tunnel variance is ~15%, and
+    # each decode is ~2 ms, so a 32-call chain still costs well under 100 ms
+    n_short, n_long, reps = 4, 32, 5
     t_short = statistics.median(run_chain(n_short, r) for r in range(reps))
     t_long = statistics.median(run_chain(n_long, r + 10) for r in range(reps))
     per_decode = (t_long - t_short) / (n_long - n_short)

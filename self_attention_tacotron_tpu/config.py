@@ -243,6 +243,7 @@ class HParams:        # attribute of flax modules / jit closures)
     decoder_fused_inference: bool = False  # whole-loop Pallas decode kernel
     #                            (ops/fused_decode.py; batch-1 serving path)
     decoder_fused_dtype: str = "float32"  # float32 | bfloat16 in-kernel storage
+    decoder_scan_unroll: int = 4  # lax.scan unroll of the decode loops
     seed: int = 12345
     checkpoint_async: bool = True
     num_parallel_reads: int = 0  # 0 -> cpu_count based (reference train.py:33-37)

@@ -113,6 +113,8 @@ class TacotronDecoder(nn.Module):
     #                                  (ops/fused_decode.py); falls back to
     #                                  the scan path outside its subset
     fused_dtype: str = "float32"     # float32 | bfloat16 in-kernel storage
+    scan_unroll: int = 4             # lax.scan unroll for the decode loops
+    #                                  (~10% train-step win on v5e)
     dtype: jnp.dtype = jnp.float32
 
     # ------------------------------------------------------------- submodules
@@ -390,7 +392,7 @@ class TacotronDecoder(nn.Module):
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True, "zoneout": True},
-                       in_axes=1, out_axes=1)
+                       in_axes=1, out_axes=1, unroll=self.scan_unroll)
         _, (rnn_out, aligns) = scan(self, carry, teacher_xs)
         # rnn_out: (B, T, D); aligns: tuple of (B, T, T_mem)
 
@@ -457,7 +459,7 @@ class TacotronDecoder(nn.Module):
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True, "zoneout": True},
-                       in_axes=(0, 1), out_axes=0)
+                       in_axes=(0, 1), out_axes=0, unroll=self.scan_unroll)
         ts = jnp.arange(num_steps)
         _, (outs_seq, stop_seq, aligns_seq, sa_rows_seq, all_finished_seq) = \
             scan(self, carry, ts, teacher_feed)
