@@ -22,8 +22,8 @@ from __graft_entry__ import _flagship_hparams, _make_batch
 from self_attention_tacotron_tpu.models import DecoderMode, tacotron_model_factory
 
 
-def compare(hp, label, tol):
-    batch = _make_batch(hp, B=1, T_in=16, T_out=8)
+def compare(hp, label, tol, B=1):
+    batch = _make_batch(hp, B=B, T_in=16, T_out=8)
     infer = batch._replace(target=None, done=None)
     model = tacotron_model_factory(hp)
     variables = jax.jit(lambda k, b: model.init({"params": k}, b,
@@ -37,15 +37,19 @@ def compare(hp, label, tol):
     err = float(jnp.max(jnp.abs(fused.outputs - ref.outputs)))
     scale = float(jnp.max(jnp.abs(ref.outputs)))
     rel = err / max(scale, 1e-6)
-    same_ids = bool(jnp.all(fused.predicted_samples == ref.predicted_samples))
+    id_mismatch = float(jnp.mean(
+        (fused.predicted_samples != ref.predicted_samples).astype(jnp.float32)))
     print(f"{label:28s} max|diff|={err:.3e} rel={rel:.3e} "
-          f"ids_match={same_ids} lengths {int(fused.lengths[0])}=="
+          f"id_mismatch={id_mismatch:.3f} lengths {int(fused.lengths[0])}=="
           f"{int(ref.lengths[0])}")
     # exact-math parity is gated by tests/test_fused_decode.py (interpret
     # mode); on-chip the scan (XLA) and fused (Mosaic) paths accumulate MXU
-    # products differently at default f32 precision, so compare relative
+    # products differently at default f32 precision, so compare relative,
+    # and allow a small argmax-flip fraction (random-weights logits have
+    # near-ties that ~1e-2 relative drift can flip)
     assert rel <= tol, (label, rel)
-    assert same_ids, label
+    assert id_mismatch <= 0.05, (label, id_mismatch)
+    assert int(fused.lengths[0]) == int(ref.lengths[0]), label
     return err
 
 
@@ -86,6 +90,8 @@ def main():
     tiny.max_iters = 8
     tiny.decoder_early_stop = False
     compare(tiny, "tiny f32", 2e-2)
+
+    compare(tiny.replace(), "tiny f32 B=3 (batched)", 2e-2, B=3)
 
     flag = _flagship_hparams(tiny=False)
     flag.max_iters = 450

@@ -490,7 +490,17 @@ class TacotronDecoder(nn.Module):
         """The fused kernel covers the serving configuration (see
         ops/fused_decode.py docstring); anything else uses the scan path."""
         from .attention import AdditiveAttention
-        return (B == 1
+        n_hops = (self.self_attention_num_hop if self.use_transformer else 0)
+        # VMEM gate: f32 out buffer + KV caches must fit comfortably
+        buf_bytes = B * self.max_iters * 4 * (
+            self.num_mels * self.outputs_per_step + 1
+            + 2 * n_hops * self.self_attention_out_units)
+        # with self-attention hops, the per-row KV-cache attention work grows
+        # ~linearly in B and the batched scan path wins past B~4 (measured
+        # crossover on v5e, PERF.md); without hops the fused kernel wins at
+        # any VMEM-fitting batch
+        batch_ok = B <= 4 if n_hops else True
+        return (batch_ok and buf_bytes <= (64 << 20)
                 and self.output_kind == "single"
                 and not self.use_speaker_embed
                 and not self.apply_dropout_on_inference
@@ -545,10 +555,9 @@ class TacotronDecoder(nn.Module):
             lstm2=(l2["kernel"], row(l2["bias"])),
             hops=tuple(hops), head=(w_os, b_os))
         memory = fd.FusedDecodeMemory(
-            keys=tuple(pk.keys[0] for pk in packs),
-            values=tuple(pk.values[0] for pk in packs),
-            masks=tuple(pk.mask[0].astype(jnp.float32)[:, None]
-                        for pk in packs))
+            keys=tuple(pk.keys for pk in packs),
+            values=tuple(pk.values for pk in packs),
+            masks=tuple(pk.mask.astype(jnp.float32) for pk in packs))
         zc_dec = (self.zoneout_factor_cell if self.decoder_version == "v2"
                   else 0.0)
         zo_dec = (self.zoneout_factor_output if self.decoder_version == "v2"
@@ -565,13 +574,15 @@ class TacotronDecoder(nn.Module):
             compute_dtype=(jnp.bfloat16 if self.fused_dtype == "bfloat16"
                            else jnp.float32))
 
-        # lengths: same stop-token semantics as the scan path
+        # lengths: same stop-token semantics as the scan path — decoding
+        # counts until EVERY row's stop token has fired (cumulatively)
         S = num_steps
         fired = ((jax.nn.sigmoid(stop) > 0.5)
-                 & (jnp.arange(S) > self.min_iters))
-        cum = jnp.cumsum(fired.astype(jnp.int32)) > 0
-        steps_taken = jnp.where(jnp.any(cum),
-                                jnp.argmax(cum) + 1, S).astype(jnp.int32)
+                 & (jnp.arange(S)[None, :] > self.min_iters))   # (B, S)
+        row_fin = jnp.cumsum(fired.astype(jnp.int32), axis=1) > 0
+        all_fin = jnp.all(row_fin, axis=0)                      # (S,)
+        steps_taken = jnp.where(jnp.any(all_fin),
+                                jnp.argmax(all_fin) + 1, S).astype(jnp.int32)
         lengths = jnp.full((B,), steps_taken, jnp.int32)
 
 
@@ -579,9 +590,9 @@ class TacotronDecoder(nn.Module):
         sa_aligns = [jnp.zeros((B, S, S), self.dtype)
                      for _ in range(n_hops * self.self_attention_num_heads)]
         return self._package(
-            (out[None].astype(self.dtype),),
-            stop[None, :, None].astype(self.dtype),
-            tuple(a[None].astype(self.dtype) for a in aligns),
+            (out.astype(self.dtype),),
+            stop[..., None].astype(self.dtype),
+            tuple(a.astype(self.dtype) for a in aligns),
             sa_aligns, lengths, num_steps)
 
     # -------------------------------------- inference with early exit

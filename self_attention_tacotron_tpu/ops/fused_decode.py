@@ -7,17 +7,28 @@ loop is weight-bandwidth/latency bound, not FLOP bound).  This kernel instead
 runs the ENTIRE decode loop inside ONE ``pallas_call``:
 
 * all weights are loaded HBM -> VMEM once and stay resident across all steps;
-* the per-step state (LSTM carries, previous context, feedback frame) lives
-  in registers/VMEM as a ``fori_loop`` carry;
+* the per-step state (LSTM carries, attention state, feedback frame) lives
+  in registers/VMEM as a loop carry;
 * the decoder self-attention KV caches are VMEM scratch;
 * outputs (code/mel rows, stop logits, alignments) are written row-by-row
-  into VMEM output buffers.
+  into VMEM output buffers;
+* with ``decoder_early_stop``, the loop is a ``while_loop`` that exits as
+  soon as every batch row's stop token has fired.
+
+Batching: the batch dimension is flattened into rows — memories are
+``(B*T, U)``, KV caches ``(B*S, D)``, per-utterance softmax statistics are
+computed with block-indicator matmuls (``ind (B*T, B)``: broadcast = ``ind @
+x``; reduce = contract dim 0 of both).  Dense/LSTM/projection matmuls batch
+naturally as ``(B, K) @ (K, N)``, so a batch of 8 costs nearly the same MXU
+time as batch 1 — ~6-8x the single-utterance serving throughput.
 
 Supported subset (the reference's serving configuration — everything else
 falls back to the scan path, see models/decoder.py):
-  batch size 1, output_kind "single", additive attention mechanisms
-  (1 or 2 sources), no speaker-embedding prenet routing, no inference
-  dropout, optional causal self-attention hops with KV cache.
+  output_kind "single", additive attention mechanisms (1 or 2 sources),
+  no speaker-embedding prenet routing, no inference dropout, optional
+  causal self-attention hops, batch small enough for VMEM (see
+  ``fused_vmem_bytes``).  Source-attention alignments are materialized for
+  batch 1 only (serving batches skip the plots).
 
 Math parity (same ops as the scan path, verified in
 tests/test_fused_decode.py):
@@ -44,6 +55,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -67,33 +79,47 @@ class FusedDecodeParams(NamedTuple):
 
 
 class FusedDecodeMemory(NamedTuple):
-    """Precomputed encoder-side tensors (batch dim squeezed)."""
+    """Precomputed encoder-side tensors, batch-major (B, T_i, ...)."""
 
-    keys: Tuple[Array, ...]    # per source (T_i, U_i)
-    values: Tuple[Array, ...]  # per source (T_i, C_i)
-    masks: Tuple[Array, ...]   # per source (T_i, 1) float {1, 0}
+    keys: Tuple[Array, ...]    # per source (B, T_i, U_i)
+    values: Tuple[Array, ...]  # per source (B, T_i, C_i)
+    masks: Tuple[Array, ...]   # per source (B, T_i) float {1, 0}
 
 
 def _mm(a: Array, w: Array) -> Array:
-    """(1, K) @ (K, N) -> (1, N), f32 accumulation on the MXU."""
+    """(B, K) @ (K, N) -> (B, N), f32 accumulation on the MXU."""
     return jax.lax.dot_general(
         a.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _col_t_mm(col: Array, mat: Array) -> Array:
-    """(T, 1)^T @ (T, C) -> (1, C) without materializing the transpose."""
+def _mm_col(a: Array, w: Array) -> Array:
+    """(T, U) @ (U, 1) -> (T, 1)."""
     return jax.lax.dot_general(
-        col.astype(mat.dtype), mat,
+        a.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _block_reduce(ind: Array, y: Array) -> Array:
+    """(B*T, B)^T @ (B*T, N) -> (B, N): per-utterance sums."""
+    return jax.lax.dot_general(
+        ind, y.astype(ind.dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
-def _softmax_col(s: Array) -> Array:
-    """Numerically-stable softmax over the sublane axis of (T, 1)."""
-    m = jnp.max(s, axis=0, keepdims=True)
-    e = jnp.exp(s - m)
-    return e / jnp.sum(e, axis=0, keepdims=True)
+def _block_softmax(e_col: Array, ind: Array, B: int, T: int) -> Array:
+    """Per-utterance softmax over the (B*T, 1) column of block energies."""
+    if B == 1:  # plain column softmax, no indicator matmuls
+        m = jnp.max(e_col, axis=0, keepdims=True)
+        ex = jnp.exp(e_col - m)
+        return ex / jnp.sum(ex, axis=0, keepdims=True)
+    maxes = jnp.concatenate(
+        [jnp.max(e_col[b * T:(b + 1) * T], axis=0, keepdims=True)
+         for b in range(B)], axis=0)                     # (B, 1)
+    ex = jnp.exp(e_col - _mm(ind, maxes))
+    sums = _block_reduce(ind, ex)                        # (B, 1)
+    return ex / _mm(ind, sums)
 
 
 def _lstm(z: Array, w_ref, b_ref, c_prev: Array, h_prev: Array,
@@ -119,11 +145,16 @@ def _kernel(spec: dict, *refs):
     n_hops = spec["num_hops"]
     n_heads = spec["num_heads"]
     S = spec["num_steps"]
+    B = spec["batch"]
     cr = spec["cr"]          # num_mels * r (output row, without stop column)
     cf = spec["cf"]          # num_mels * n_feed_frame (feedback width)
+    mat_aligns = spec["materialize_aligns"]
 
     it = iter(refs)
-    mem = [(next(it), next(it), next(it)) for _ in range(ns)]  # keys,vals,mask
+    # keys (B*T,U), values (B*T,C), mask (B*T,1), indicator (B*T,B)
+    mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
+    ind_s = next(it)                  # (B*S, B) indicator for the KV caches
+    pos_s = next(it)                  # (B*S, 1) int32: position within block
     prenet = [(next(it), next(it)) for _ in range(n_pre)]
     att_lstm = (next(it), next(it))
     query_all = next(it)              # (A, sum U_i): all query projections
@@ -135,7 +166,7 @@ def _kernel(spec: dict, *refs):
     hops = [tuple(next(it) for _ in range(6)) for _ in range(n_hops)]
     head = (next(it), next(it))
     out_ref = next(it)
-    align_refs = [next(it) for _ in range(ns)]
+    align_refs = [next(it) for _ in range(ns)] if mat_aligns else []
     caches = [(next(it), next(it)) for _ in range(n_hops)]
     assert next(it, None) is None
 
@@ -154,7 +185,6 @@ def _kernel(spec: dict, *refs):
     f32 = jnp.float32
     A = att_lstm[1].shape[1] // 4            # attention RNN units
     D = lstm1[1].shape[1] // 4               # decoder RNN units
-    cctx = sum(int(v.shape[1]) for _, v, _ in mem)
     head_dim = D // n_heads
     sa_scale = 1.0 / (head_dim ** 0.5)
 
@@ -173,20 +203,31 @@ def _kernel(spec: dict, *refs):
 
         # additive attention per source (models/attention.py:84-89); the
         # per-source query projections run as one fused matmul
-        pq_all = _mm(h_att, query_all[...])                    # (1, sum U_i)
+        pq_all = _mm(h_att, query_all[...])                # (B, sum U_i)
         ctxs = []
         u_off = 0
-        for (keys_ref, values_ref, mask_ref), v_ref, a_ref in zip(
-                mem, vs, align_refs):
+        for i, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref) in \
+                enumerate(zip(mem, vs)):
             u = int(v_ref.shape[0])
-            pq = pq_all[:, u_off:u_off + u]                    # (1, U)
+            T = keys_ref.shape[0] // B
+            ind = ind_ref[...].astype(f32)
+            pq_b = pq_all[:, u_off:u_off + u]              # (B, U)
+            # B == 1: (1, U) broadcasts against (T, U) for free
+            pq = pq_b if B == 1 else _mm(ind, pq_b)        # (B*T, U)
             u_off += u
-            e = jnp.tanh(keys_ref[...].astype(f32) + pq)       # (T, U)
-            e_col = _mm_col(e, v_ref[...])                     # (T, 1)
+            e = jnp.tanh(keys_ref[...].astype(f32) + pq)   # (B*T, U)
+            e_col = _mm_col(e, v_ref[...])                 # (B*T, 1)
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
-            a_col = _softmax_col(e_col)
-            a_ref[pl.ds(t, 1), :] = jnp.transpose(a_col).astype(a_ref.dtype)
-            ctxs.append(_col_t_mm(a_col, values_ref[...]))     # (1, C_i)
+            a_col = _block_softmax(e_col, ind, B, T)
+            if mat_aligns:
+                align_refs[i][pl.ds(t, 1), :] = \
+                    jnp.transpose(a_col).astype(align_refs[i].dtype)
+            # ctx_b = sum_t a[b,t] * values[b,t,:]
+            if B == 1:
+                ctxs.append(_block_reduce(a_col, values_ref[...].astype(f32)))
+            else:
+                ctxs.append(_block_reduce(
+                    ind, a_col * values_ref[...].astype(f32)))  # (B, C_i)
         ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
 
         # DecoderRNNV1/V2: projection + two residual LSTMs
@@ -201,74 +242,79 @@ def _kernel(spec: dict, *refs):
         h2 = l2
         y = o1 + l2
 
-        # causal self-attention hops with VMEM KV cache; K|V|Q projections
-        # fused into one (D, 3D) matmul
-        D_ = lstm1[1].shape[1] // 4
+        # causal self-attention hops with flat (B*S, D) VMEM KV caches;
+        # K|V|Q projections fused into one (D, 3D) matmul
+        if n_hops:
+            ind_sf = ind_s[...].astype(f32)
+            valid = pos_s[...] <= t                        # (B*S, 1)
         for (wkvq, bkvq, wo, bo, wt, bt), (kc, vc) in zip(hops, caches):
-            kvq = _mm(y, wkvq[...]) + bkvq[...].astype(f32)    # (1, 3D)
-            k_t = kvq[:, :D_]
-            v_t = kvq[:, D_:2 * D_]
-            q_t = kvq[:, 2 * D_:]
-            kc[pl.ds(t, 1), :] = k_t.astype(kc.dtype)
-            vc[pl.ds(t, 1), :] = v_t.astype(vc.dtype)
-            k_all = kc[...].astype(f32)                        # (S, D)
+            kvq = _mm(y, wkvq[...]) + bkvq[...].astype(f32)  # (B, 3D)
+            k_t, v_t = kvq[:, :D], kvq[:, D:2 * D]
+            q_t = kvq[:, 2 * D:]
+            for b in range(B):
+                kc[pl.ds(t + b * S, 1), :] = k_t[b:b + 1].astype(kc.dtype)
+                vc[pl.ds(t + b * S, 1), :] = v_t[b:b + 1].astype(vc.dtype)
+            k_all = kc[...].astype(f32)                    # (B*S, D)
             v_all = vc[...].astype(f32)
-            pos = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-            valid = pos <= t
             hctx = []
             for h in range(n_heads):
                 sl = slice(h * head_dim, (h + 1) * head_dim)
-                s_col = jax.lax.dot_general(
-                    k_all[:, sl], q_t[:, sl],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=f32) * sa_scale     # (S, 1)
+                if B == 1:  # single query row: one MXU dot per head
+                    s_col = jax.lax.dot_general(
+                        k_all[:, sl], q_t[:, sl],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32) * sa_scale
+                else:
+                    q_rep = _mm(ind_sf, q_t[:, sl])        # (B*S, head_dim)
+                    s_col = jnp.sum(k_all[:, sl] * q_rep, axis=1,
+                                    keepdims=True) * sa_scale  # (B*S, 1)
                 s_col = jnp.where(valid, s_col, NEG_INF)
-                p_col = _softmax_col(s_col)
-                hctx.append(_col_t_mm(p_col, v_all[:, sl]))    # (1, head_dim)
+                p_col = _block_softmax(s_col, ind_sf, B, S)
+                if B == 1:
+                    hctx.append(_block_reduce(p_col, v_all[:, sl]))
+                else:
+                    hctx.append(_block_reduce(ind_sf, p_col * v_all[:, sl]))
             attn = _mm(jnp.concatenate(hctx, axis=1), wo[...]) \
                 + bo[...].astype(f32)
             y = y + jnp.tanh(_mm(attn, wt[...]) + bt[...].astype(f32))
 
         # fused output + stop heads: one (D, Cr+1) matmul
-        row = _mm(y, head[0][...]) + head[1][...].astype(f32)  # (1, Cr+1)
-        out_ref[pl.ds(t, 1), :] = row.astype(out_ref.dtype)
+        row = _mm(y, head[0][...]) + head[1][...].astype(f32)  # (B, Cr+1)
+        for b in range(B):
+            out_ref[pl.ds(t + b * S, 1), :] = row[b:b + 1].astype(out_ref.dtype)
 
         # raw-frame feedback: last n_feed_frame frames of the output row
         x_next = row[:, cr - cf:cr]
-        stop_logit = row[0, cr]
-        return (x_next, ctx, h_att, c_att, h1, c1, h2, c2), stop_logit
+        stop_col = row[:, cr:cr + 1]
+        return (x_next, ctx, h_att, c_att, h1, c1, h2, c2), stop_col
 
-    zeros = lambda n: jnp.zeros((1, n), f32)
+    zeros = lambda n: jnp.zeros((B, n), f32)
+    cctx = sum(int(v.shape[1]) for _, v, _, _ in mem)
     carry0 = (zeros(cf), zeros(cctx), zeros(A), zeros(A),
               zeros(D), zeros(D), zeros(D), zeros(D))
     if spec["early_stop"]:
-        # dynamic_decode-style early exit: a while_loop that stops as soon
-        # as the stop token fires (sigmoid > 0.5 past min_iters), matching
-        # the scan path's while_loop (models/decoder.py:_decode_path_while)
+        # dynamic_decode-style early exit: a while_loop that stops once
+        # EVERY batch row's stop token has fired (sigmoid > 0.5 past
+        # min_iters), matching the scan path's while_loop
+        # (models/decoder.py:_decode_path_while)
         min_iters = spec["min_iters"]
 
         def cond(state):
-            t, stop, _ = state
-            fired = (jax.nn.sigmoid(stop) > 0.5) & (t - 1 > min_iters)
-            return (t < S) & ~fired
+            t, fired, _ = state
+            return (t < S) & ~jnp.all(fired)
 
         def wbody(state):
-            t, _, carry = state
-            carry, stop_logit = body(t, carry)
-            return (t + 1, stop_logit, carry)
+            t, fired, carry = state
+            carry, stop_col = body(t, carry)
+            fired = fired | ((jax.nn.sigmoid(stop_col) > 0.5)
+                             & (t > min_iters))
+            return (t + 1, fired, carry)
 
         jax.lax.while_loop(cond, wbody,
                            (jnp.asarray(0, jnp.int32),
-                            jnp.asarray(0.0, f32), carry0))
+                            jnp.zeros((B, 1), bool), carry0))
     else:
         jax.lax.fori_loop(0, S, lambda t, c: body(t, c)[0], carry0)
-
-
-def _mm_col(a: Array, w: Array) -> Array:
-    """(T, U) @ (U, 1) -> (T, 1)."""
-    return jax.lax.dot_general(
-        a.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
 
 
 def _nbytes(shape, dtype) -> int:
@@ -276,6 +322,31 @@ def _nbytes(shape, dtype) -> int:
     rows = max(int(shape[0]), 8) if len(shape) == 2 else 8
     cols = ((int(shape[-1]) + 127) // 128) * 128
     return rows * cols * jnp.dtype(dtype).itemsize
+
+
+def fused_vmem_bytes(params: FusedDecodeParams, memory: FusedDecodeMemory,
+                     num_steps: int, num_mels: int, outputs_per_step: int,
+                     compute_dtype=jnp.float32) -> int:
+    """Estimated VMEM working set of the fused kernel (for dispatch gates)."""
+    cdt = jnp.dtype(compute_dtype)
+    B = int(memory.keys[0].shape[0])
+    S = num_steps
+    cr = num_mels * outputs_per_step
+    total = 0
+    for k, v in zip(memory.keys, memory.values):
+        bt = B * int(k.shape[1])
+        total += _nbytes((bt, int(k.shape[2])), cdt)
+        total += _nbytes((bt, int(v.shape[2])), cdt)
+        total += 2 * _nbytes((bt, 8), jnp.float32)  # mask + indicator
+    flat = lambda p: sum(_nbytes(x.shape, cdt) for pair in p for x in pair)
+    total += flat(params.prenet) + flat([params.att_lstm, params.outproj,
+                                         params.lstm1, params.lstm2,
+                                         params.head, *params.query])
+    total += sum(_nbytes(x.shape, cdt) for hop in params.hops for x in hop)
+    D = params.lstm1[1].shape[1] // 4
+    total += _nbytes((B * S, cr + 1), jnp.float32)              # out buffer
+    total += len(params.hops) * 2 * _nbytes((B * S, D), jnp.float32)
+    return total
 
 
 def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
@@ -287,21 +358,25 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                  compute_dtype=jnp.float32, interpret: bool = None):
     """Run the whole inference loop in one kernel.
 
-    Returns (out (S, num_mels*r), stop (S,), aligns tuple of (S, T_i)) in
-    float32.  ``compute_dtype`` selects the storage dtype of weights, KV
-    caches and output buffers inside the kernel (bfloat16 halves VMEM and
-    HBM traffic; LSTM states and softmax math stay float32 either way).
+    Returns (out (B, S, num_mels*r), stop (B, S), aligns tuple of
+    (B, S, T_i) — zeros unless B == 1) in float32.  ``compute_dtype``
+    selects the storage dtype of weights and memories inside the kernel
+    (bfloat16 halves their VMEM; row-store buffers and softmax math stay
+    float32 either way).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     cdt = jnp.dtype(compute_dtype)
     S = num_steps
+    B = int(memory.keys[0].shape[0])
     cr = num_mels * outputs_per_step
     cf = num_mels * n_feed_frame
+    mat_aligns = B == 1
 
     spec = dict(num_sources=len(memory.keys), num_prenet=len(params.prenet),
                 num_hops=len(params.hops), num_heads=num_heads,
-                num_steps=S, cr=cr, cf=cf,
+                num_steps=S, cr=cr, cf=cf, batch=B,
+                materialize_aligns=mat_aligns,
                 zc_att=float(zoneout_cell), zo_att=float(zoneout_output),
                 zc_dec=float(dec_zoneout_cell),
                 zo_dec=float(dec_zoneout_output),
@@ -310,9 +385,22 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     def w(x):
         return jnp.asarray(x, cdt)
 
+    def flat(x):  # (B, T, C) -> (B*T, C)
+        return x.reshape(B * x.shape[1], x.shape[2])
+
     ins = []
+    t_lens = []
     for k, v, m in zip(memory.keys, memory.values, memory.masks):
-        ins += [w(k), w(v), jnp.asarray(m, jnp.float32)]
+        T = int(k.shape[1])
+        t_lens.append(T)
+        ind = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
+                                  np.ones((T, 1), np.float32)))
+        ins += [w(flat(k)), w(flat(v)),
+                jnp.asarray(m.reshape(B * T, 1), jnp.float32), ind]
+    ind_s = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
+                                np.ones((S, 1), np.float32)))
+    pos_s = jnp.asarray((np.arange(B * S) % S).reshape(B * S, 1), jnp.int32)
+    ins += [ind_s, pos_s]
     for wt, b in params.prenet:
         ins += [w(wt), w(b)]
     ins += [w(params.att_lstm[0]), w(params.att_lstm[1])]
@@ -331,19 +419,20 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
 
     # row-store buffers stay f32: Mosaic cannot prove dynamic single-row
     # stores tile-aligned for 16-sublane (bf16) tiles; bf16 mode narrows
-    # only the weights (the dominant VMEM + bandwidth term)
+    # only the weights/memories (the dominant VMEM + bandwidth term)
     D = params.lstm1[1].shape[1] // 4
-    out_shapes = [jax.ShapeDtypeStruct((S, cr + 1), jnp.float32)]
-    out_shapes += [jax.ShapeDtypeStruct((S, int(k.shape[0])), jnp.float32)
-                   for k in memory.keys]
+    out_shapes = [jax.ShapeDtypeStruct((B * S, cr + 1), jnp.float32)]
+    if mat_aligns:
+        out_shapes += [jax.ShapeDtypeStruct((S, T), jnp.float32)
+                       for T in t_lens]
     scratch = []
     for _ in params.hops:
-        scratch += [pltpu.VMEM((S, D), jnp.float32),
-                    pltpu.VMEM((S, D), jnp.float32)]
+        scratch += [pltpu.VMEM((B * S, D), jnp.float32),
+                    pltpu.VMEM((B * S, D), jnp.float32)]
 
     vmem_bytes = sum(_nbytes(x.shape, x.dtype) for x in ins)
     vmem_bytes += sum(_nbytes(o.shape, o.dtype) for o in out_shapes)
-    vmem_bytes += len(params.hops) * 2 * _nbytes((S, D), jnp.float32)
+    vmem_bytes += len(params.hops) * 2 * _nbytes((B * S, D), jnp.float32)
     vmem_limit = min(int(vmem_bytes * 1.3) + (4 << 20), 128 << 20)
 
     outs = pl.pallas_call(
@@ -357,6 +446,9 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
         interpret=interpret,
     )(*ins)
 
-    out_row = outs[0].astype(jnp.float32)
-    aligns = tuple(a.astype(jnp.float32) for a in outs[1:])
-    return out_row[:, :cr], out_row[:, cr], aligns
+    out_rows = outs[0].astype(jnp.float32).reshape(B, S, cr + 1)
+    if mat_aligns:
+        aligns = tuple(a.astype(jnp.float32)[None] for a in outs[1:])
+    else:
+        aligns = tuple(jnp.zeros((B, S, T), jnp.float32) for T in t_lens)
+    return out_rows[..., :cr], out_rows[..., cr], aligns
