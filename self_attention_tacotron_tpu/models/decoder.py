@@ -454,15 +454,15 @@ class TacotronDecoder(nn.Module):
             c2["next_input"] = mdl._next_input_from_output(
                 outs_t, mode, teacher_forcing, teacher_x_t)
             ys = (outs_t, stop_t, aligns, tuple(sa_rows),
-                  jnp.all(finished))
+                  jnp.all(finished), finished[:, 0])
             return c2, ys
 
         scan = nn.scan(step, variable_broadcast="params",
                        split_rngs={"params": False, "dropout": True, "zoneout": True},
                        in_axes=(0, 1), out_axes=0, unroll=self.scan_unroll)
         ts = jnp.arange(num_steps)
-        _, (outs_seq, stop_seq, aligns_seq, sa_rows_seq, all_finished_seq) = \
-            scan(self, carry, ts, teacher_feed)
+        _, (outs_seq, stop_seq, aligns_seq, sa_rows_seq, all_finished_seq,
+            row_finished_seq) = scan(self, carry, ts, teacher_feed)
 
         # stacked on axis 0 = time; move to batch-major
         outs_seq = tuple(jnp.moveaxis(o, 0, 1) for o in outs_seq)
@@ -473,9 +473,17 @@ class TacotronDecoder(nn.Module):
             any_finish = jnp.any(all_finished_seq)
             first = jnp.argmax(all_finished_seq)
             steps_taken = jnp.where(any_finish, first + 1, num_steps)
+            # per-row lengths: the step each row's stop token first fired
+            # (inclusive), dynamic_decode's final_sequence_lengths semantics
+            # (reference: modules/module.py:777-783); rows that never fire
+            # run to the batch-wide stop point
+            row_fin = jnp.moveaxis(row_finished_seq, 0, 1)  # (B, T) cumulative
+            row_fired = row_fin[:, -1]
+            row_first = jnp.argmax(row_fin, axis=1).astype(jnp.int32)
+            lengths = jnp.where(row_fired, row_first + 1,
+                                steps_taken).astype(jnp.int32)
         else:
-            steps_taken = jnp.asarray(num_steps, jnp.int32)
-        lengths = jnp.full((B,), steps_taken, jnp.int32)
+            lengths = jnp.full((B,), num_steps, jnp.int32)
 
         sa_aligns: List[jax.Array] = []
         for hop_rows in sa_rows_seq:  # (T, B, H, max_len) per hop
@@ -483,7 +491,8 @@ class TacotronDecoder(nn.Module):
             for head in range(rows.shape[2]):
                 sa_aligns.append(rows[:, :, head, :])  # (B, T_q, T_k)
         return self._package(outs_seq, stop_seq, aligns_seq, sa_aligns,
-                             lengths, num_steps)
+                             lengths, num_steps,
+                             mask_by_lengths=mode == DecoderMode.INFERENCE)
 
     # ------------------------------- whole-loop fused Pallas inference
     def _fused_supported(self, B, teacher_alignments) -> bool:
@@ -574,8 +583,9 @@ class TacotronDecoder(nn.Module):
             compute_dtype=(jnp.bfloat16 if self.fused_dtype == "bfloat16"
                            else jnp.float32))
 
-        # lengths: same stop-token semantics as the scan path — decoding
-        # counts until EVERY row's stop token has fired (cumulatively)
+        # lengths: same stop-token semantics as the scan path, recovered
+        # post-hoc from the emitted stop logits — per-row first-fire step
+        # (inclusive); rows that never fire run to the batch-wide stop point
         S = num_steps
         fired = ((jax.nn.sigmoid(stop) > 0.5)
                  & (jnp.arange(S)[None, :] > self.min_iters))   # (B, S)
@@ -583,8 +593,9 @@ class TacotronDecoder(nn.Module):
         all_fin = jnp.all(row_fin, axis=0)                      # (S,)
         steps_taken = jnp.where(jnp.any(all_fin),
                                 jnp.argmax(all_fin) + 1, S).astype(jnp.int32)
-        lengths = jnp.full((B,), steps_taken, jnp.int32)
-
+        row_first = jnp.argmax(row_fin, axis=1).astype(jnp.int32)
+        lengths = jnp.where(row_fin[:, -1], row_first + 1,
+                            steps_taken).astype(jnp.int32)
 
         n_hops = len(self.transformers) if self.use_transformer else 0
         sa_aligns = [jnp.zeros((B, S, S), self.dtype)
@@ -593,7 +604,7 @@ class TacotronDecoder(nn.Module):
             (out.astype(self.dtype),),
             stop[..., None].astype(self.dtype),
             tuple(a.astype(self.dtype) for a in aligns),
-            sa_aligns, lengths, num_steps)
+            sa_aligns, lengths, num_steps, mask_by_lengths=True)
 
     # -------------------------------------- inference with early exit
     def _decode_path_while(self, packs, B, num_steps, speaker_embed):
@@ -605,6 +616,7 @@ class TacotronDecoder(nn.Module):
         carry = self._initial_rnn_carry(B, packs)
         carry["next_input"] = self._go_frame(B)
         carry["finished"] = jnp.zeros((B, 1), bool)
+        carry["row_lengths"] = jnp.zeros((B,), jnp.int32)
         if self.use_transformer:
             carry["caches"] = tuple(hop.init_cache(B, num_steps)
                                     for hop in self.transformers)
@@ -644,6 +656,10 @@ class TacotronDecoder(nn.Module):
 
             c2["finished"] = c["finished"] | (
                 (jax.nn.sigmoid(stop_t) > 0.5) & (t > mdl.min_iters))
+            # a row's length counts every step up to and including the one
+            # where its stop token fired (dynamic_decode semantics)
+            c2["row_lengths"] = c["row_lengths"] + (
+                ~c["finished"][:, 0]).astype(jnp.int32)
             c2["next_input"] = mdl._next_input_from_output(
                 outs_t, mode, False, None)
             c2["buf_outs"] = tuple(
@@ -663,15 +679,14 @@ class TacotronDecoder(nn.Module):
             return c2
 
         final = nn.while_loop(cond, body, self, carry)
-        steps_taken = final["time"]
-        lengths = jnp.full((B,), steps_taken, jnp.int32)
+        lengths = final["row_lengths"]
         sa_aligns: List[jax.Array] = []
         for rows in final["buf_sa"]:  # (B, T_q, H, T_k)
             for head in range(rows.shape[2]):
                 sa_aligns.append(rows[:, :, head, :])
         return self._package(final["buf_outs"], final["buf_stop"],
                              final["buf_aligns"], sa_aligns, lengths,
-                             num_steps)
+                             num_steps, mask_by_lengths=True)
 
     def _go_frame(self, B):
         dims = self._frame_dims()
@@ -680,10 +695,20 @@ class TacotronDecoder(nn.Module):
         return gos if self.output_kind == "mgclf0" else gos[0]
 
     # ---------------------------------------------------------- packaging
-    def _package(self, outs, stop, aligns, sa_aligns, lengths, num_steps):
+    def _package(self, outs, stop, aligns, sa_aligns, lengths, num_steps,
+                 mask_by_lengths: bool = False):
         r = self.outputs_per_step
         dims = self._frame_dims()
         B = outs[0].shape[0]
+        if mask_by_lengths:
+            # dynamic_decode zeroes emissions at every step after a row's
+            # stop token fired; the firing step's emission is kept
+            # (reference: tf.contrib.seq2seq.dynamic_decode body)
+            valid = (jnp.arange(num_steps)[None, :]
+                     < lengths[:, None])                       # (B, S)
+            outs = tuple(o * valid[..., None].astype(o.dtype) for o in outs)
+            stop = stop * valid[..., None].astype(stop.dtype) \
+                if stop.ndim == 3 else stop * valid.astype(stop.dtype)
         main = outs[0].reshape(B, num_steps * r, dims[0])
         second = (outs[1].reshape(B, num_steps * r, dims[1])
                   if self.output_kind == "mgclf0" else None)
