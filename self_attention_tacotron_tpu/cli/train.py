@@ -22,6 +22,7 @@ import logging
 import os
 import sys
 import time
+from typing import Optional
 
 import jax
 import numpy as np
@@ -52,6 +53,34 @@ def load_hparams(args):
         hp.parse_json_file(args.hparam_json_file)
     hp.parse(args.hparams)
     return hp
+
+
+class EvalThrottle:
+    """EvalSpec cadence (reference: train.py:82-85, hparams.py:193-197).
+
+    Evaluation is checkpoint-driven, but skipped until
+    ``eval_start_delay_secs`` after training start and rate-limited to at
+    most one evaluation per ``eval_throttle_secs`` (tf.estimator
+    ``EvalSpec(start_delay_secs, throttle_secs)`` semantics).
+    """
+
+    def __init__(self, start_delay_secs: float, throttle_secs: float,
+                 now: Optional[float] = None):
+        self.start_delay_secs = float(start_delay_secs)
+        self.throttle_secs = float(throttle_secs)
+        self.start_time = time.time() if now is None else now
+        self.last_eval_time: Optional[float] = None
+
+    def should_eval(self, now: Optional[float] = None) -> bool:
+        """True if an eval is due now; records the eval time when True."""
+        now = time.time() if now is None else now
+        if now - self.start_time < self.start_delay_secs:
+            return False
+        if (self.last_eval_time is not None
+                and now - self.last_eval_time < self.throttle_secs):
+            return False
+        self.last_eval_time = now
+        return True
 
 
 def setup_logging(hp, checkpoint_dir):
@@ -161,6 +190,8 @@ def main(argv=None) -> int:
     rng = jax.random.PRNGKey(hp.seed)
     t_last = time.time()
     profiling = False
+    eval_throttle = EvalThrottle(hp.eval_start_delay_secs,
+                                 hp.eval_throttle_secs)
 
     def run_eval(step_no):
         n = 0
@@ -223,7 +254,8 @@ def main(argv=None) -> int:
                 log.warning("alignment save failed: %s", e)
         if ckpt.save(step_no, jax.device_get(state)):
             log.info("checkpoint @%d", step_no)
-            run_eval(step_no)
+            if eval_throttle.should_eval():
+                run_eval(step_no)
 
     ckpt.save(int(state.step), jax.device_get(state), force=True)
     ckpt.wait()

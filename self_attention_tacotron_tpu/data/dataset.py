@@ -287,8 +287,19 @@ class Dataset:
         self.num_workers = num_workers
 
     def _utterances(self) -> Iterator[Utterance]:
+        """Decode utterances with a bounded in-flight window.
+
+        A bounded deque of <= 2*num_workers pending futures replaces
+        submit-everything: a slow consumer holds at most the window in host
+        RAM instead of the whole corpus, while FIFO consumption keeps the
+        (shuffled) epoch order deterministic.  Matches the reference's
+        ``parallel_interleave`` semantics — bounded parallel reads, ordered
+        stream (reference: datasets/codes/dataset.py:126-135).
+        """
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
         rng = random.Random(self.seed)
+        window = max(2 * self.num_workers, 1)
         epoch = 0
         while True:
             pairs = list(self.pairs)
@@ -296,10 +307,19 @@ class Dataset:
                 rng.shuffle(pairs)
             max_out = self.hp.max_iters * self.hp.outputs_per_step
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futs = [pool.submit(load_utterance, s, t, self.hp,
-                                    self.target_kind) for s, t in pairs]
-                for fut in futs:
-                    u = fut.result()
+                it = iter(pairs)
+                pending: deque = deque()
+                for s, t in pairs[:window]:
+                    next(it)
+                    pending.append(pool.submit(load_utterance, s, t, self.hp,
+                                               self.target_kind))
+                while pending:
+                    u = pending.popleft().result()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(pool.submit(load_utterance, nxt[0],
+                                                   nxt[1], self.hp,
+                                                   self.target_kind))
                     # reference: filter_by_max_output_length
                     # (datasets/codes/dataset.py:264-269)
                     if u.target is not None and u.target_length > max_out:

@@ -53,6 +53,19 @@ from .prenet import PreNetStack
 
 glorot = nn.initializers.glorot_uniform()
 
+_logger = __import__("logging").getLogger(__name__)
+_warned_fused_fallback: set = set()
+
+
+def _warn_fused_fallback(reason: str) -> None:
+    """Log (once per distinct reason) when decoder_fused_inference=True falls
+    back to the scan path, so the dispatch gate is never config-silent."""
+    if reason not in _warned_fused_fallback:
+        _warned_fused_fallback.add(reason)
+        _logger.warning(
+            "decoder_fused_inference=True but the fused kernel does not "
+            "cover this configuration — using the scan path: %s", reason)
+
 
 class DecoderMode(enum.Enum):
     TRAIN = "train"
@@ -497,7 +510,16 @@ class TacotronDecoder(nn.Module):
     # ------------------------------- whole-loop fused Pallas inference
     def _fused_supported(self, B, teacher_alignments) -> bool:
         """The fused kernel covers the serving configuration (see
-        ops/fused_decode.py docstring); anything else uses the scan path."""
+        ops/fused_decode.py docstring); anything else uses the scan path.
+        Falling back with ``fused_inference=True`` logs the reason once so
+        the dispatch gate is never config-silent."""
+        reason = self._fused_unsupported_reason(B, teacher_alignments)
+        if reason is not None:
+            _warn_fused_fallback(reason)
+        return reason is None
+
+    def _fused_unsupported_reason(self, B, teacher_alignments
+                                  ) -> Optional[str]:
         from .attention import AdditiveAttention
         n_hops = (self.self_attention_num_hop if self.use_transformer else 0)
         # VMEM gate: f32 out buffer + KV caches must fit comfortably
@@ -508,14 +530,27 @@ class TacotronDecoder(nn.Module):
         # ~linearly in B and the batched scan path wins past B~4 (measured
         # crossover on v5e, PERF.md); without hops the fused kernel wins at
         # any VMEM-fitting batch
-        batch_ok = B <= 4 if n_hops else True
-        return (batch_ok and buf_bytes <= (64 << 20)
-                and self.output_kind == "single"
-                and not self.use_speaker_embed
-                and not self.apply_dropout_on_inference
-                and teacher_alignments is None
-                and all(isinstance(m, AdditiveAttention)
-                        for m in self.attention_mechanisms))
+        if n_hops and B > 4:
+            return (f"batch {B} > 4 with decoder self-attention hops (the "
+                    "batched scan path is faster past the measured B~4 "
+                    "crossover, PERF.md)")
+        if buf_bytes > (64 << 20):
+            return (f"output/KV buffers need {buf_bytes >> 20} MiB VMEM "
+                    "(> 64 MiB gate)")
+        if self.output_kind != "single":
+            return f"output_kind={self.output_kind!r} (mgclf0 not fused)"
+        if self.use_speaker_embed:
+            return "speaker-embedding prenet conditioning is not fused"
+        if self.apply_dropout_on_inference:
+            return "inference-time prenet dropout is not fused"
+        if teacher_alignments is not None:
+            return "forced-alignment replay is not fused"
+        if not all(isinstance(m, AdditiveAttention)
+                   for m in self.attention_mechanisms):
+            return ("non-additive attention mechanism(s): "
+                    + ", ".join(type(m).__name__
+                                for m in self.attention_mechanisms))
+        return None
 
     def _decode_path_fused(self, packs, B, num_steps):
         """Run ops/fused_decode.fused_decode on this module's bound params.

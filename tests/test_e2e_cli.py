@@ -22,6 +22,9 @@ TINY_HPARAMS = dict(
     approx_min_target_length=0, batch_bucket_width=64, phoneme="none",
     source="character", checkpoint_async=False, suffle_buffer_size=4,
     log_step_count_steps=2,
+    # eval at every checkpoint in the test (the reference-default cadence of
+    # start_delay=120s/throttle=600s would skip eval entirely in a short run)
+    eval_start_delay_secs=0, eval_throttle_secs=0,
 )
 
 
