@@ -43,6 +43,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="accepted for reference-CLI parity; SPMD data "
                         "parallelism engages automatically on multi-device "
                         "meshes")
+    # multi-host data parallelism (extends the reference's single-host
+    # MirroredStrategy, reference train.py:67): every process runs this CLI
+    # with the same coordinator address and its own process id; env vars
+    # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID work too
+    p.add_argument("--coordinator-address", default=None,
+                   help="host:port of process 0 (enables multi-host mode)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -83,9 +91,12 @@ class EvalThrottle:
         return True
 
 
-def setup_logging(hp, checkpoint_dir):
+def setup_logging(hp, checkpoint_dir, process_index: int = 0):
     os.makedirs(checkpoint_dir, exist_ok=True)
-    logfile = os.path.join(checkpoint_dir, os.path.basename(hp.logfile))
+    name = os.path.basename(hp.logfile)
+    if process_index:  # per-host log files under a shared checkpoint dir
+        name = f"{name}.p{process_index}"
+    logfile = os.path.join(checkpoint_dir, name)
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s",
         handlers=[logging.StreamHandler(sys.stdout),
@@ -96,9 +107,23 @@ def setup_logging(hp, checkpoint_dir):
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
     hp = load_hparams(args)
-    log = setup_logging(hp, args.checkpoint_dir)
+
+    # multi-host wiring must precede any JAX backend use
+    from ..parallel.multihost import (assemble_global_batch, host_local_copy,
+                                      initialize_distributed, is_coordinator,
+                                      local_batch_size, shard_files)
+    multihost = initialize_distributed(args.coordinator_address,
+                                       args.num_processes, args.process_id)
+    coordinator = is_coordinator()
+
+    log = setup_logging(hp, args.checkpoint_dir,
+                        process_index=jax.process_index())
     from ..config import hparams_debug_string
     log.info(hparams_debug_string(hp))
+    if multihost:
+        log.info("multi-host: process %d/%d, %d local / %d global devices",
+                 jax.process_index(), jax.process_count(),
+                 jax.local_device_count(), jax.device_count())
 
     from ..data.dataset import (dataset_factory, find_dataset_files,
                                 load_key_list, to_model_batch)
@@ -113,6 +138,11 @@ def main(argv=None) -> int:
     train_keys = load_key_list(os.path.join(list_dir, "train.csv"))
     val_keys = load_key_list(os.path.join(list_dir, "validation.csv"))
     log.info("train %d validation %d", len(train_keys), len(val_keys))
+    if multihost:
+        # per-host input sharding: this host reads only its slice of the
+        # corpus (replaces MirroredStrategy's in-graph batch splitting)
+        train_keys = shard_files(train_keys)
+        log.info("host shard: %d train keys", len(train_keys))
 
     def files(keys):
         return (find_dataset_files(args.source_data_root, keys,
@@ -123,15 +153,34 @@ def main(argv=None) -> int:
     train_src, train_tgt = files(train_keys)
     val_src, val_tgt = files(val_keys)
     kind_kw = {"target_kind": args.dataset_kind} if args.dataset_kind else {}
+    if multihost:
+        # lockstep shapes: each host emits identical local batch shapes
+        # every step so the per-host shards glue into one global array
+        kind_kw["fixed_target_pad"] = (hp.multihost_target_pad_length
+                                       or hp.max_iters * hp.outputs_per_step)
+        kind_kw["fixed_source_pad"] = hp.multihost_source_pad_length
+        train_bs = local_batch_size(hp.batch_size)
+        data_seed = hp.seed + jax.process_index()  # per-host shuffle only;
+        #          the model/step RNG stays identical on every process
+    else:
+        train_bs = hp.batch_size
+        data_seed = hp.seed
     train_ds = dataset_factory(train_src, train_tgt, hp, shuffle=True,
-                               repeat=True, drop_remainder=True, **kind_kw)
+                               repeat=True, drop_remainder=True,
+                               batch_size=train_bs, seed=data_seed, **kind_kw)
+    val_kw = dict(kind_kw)
+    val_kw.pop("fixed_target_pad", None)
+    val_kw.pop("fixed_source_pad", None)
     val_ds_factory = lambda: dataset_factory(
-        val_src, val_tgt, hp, batch_size=1, shuffle=False, **kind_kw)
+        val_src, val_tgt, hp, batch_size=1, shuffle=False, **val_kw)
 
     model = tacotron_model_factory(hp)
     mesh = create_mesh(hp.mesh_shape, hp.mesh_axis_names)
     n_dev = int(mesh.devices.size)
     if hp.batch_size % n_dev != 0:
+        if multihost:
+            raise ValueError(f"batch_size {hp.batch_size} must divide over "
+                             f"{n_dev} global devices in multi-host mode")
         # batch must shard evenly over the data axis; shrink the mesh to the
         # largest divisor of batch_size (1 in the worst case)
         divisor = max(d for d in range(1, n_dev + 1)
@@ -164,15 +213,18 @@ def main(argv=None) -> int:
 
     train_step = make_train_step(model, hp, mesh=mesh if n_dev > 1 else None)
     eval_step = make_eval_step(model, hp)
-    metrics_log = MetricsLogger(args.checkpoint_dir)
+    # metrics/plots are written by the coordinator only (the analog of the
+    # reference's single chief worker); other hosts train silently
+    metrics_log = MetricsLogger(args.checkpoint_dir) if coordinator else None
     eval_saver = MetricsSaver(os.path.join(args.checkpoint_dir, "eval"),
                               save_steps=1, mode="eval",
-                              keep_max=hp.keep_eval_results_max_epoch)
+                              keep_max=hp.keep_eval_results_max_epoch) \
+        if coordinator else None
     # train-time alignment plots every alignment_save_steps
     # (reference: MetricsSaver hook, models/models.py:191-199)
     train_saver = MetricsSaver(os.path.join(args.checkpoint_dir, "alignments"),
                                save_steps=hp.alignment_save_steps,
-                               mode="train")
+                               mode="train") if coordinator else None
 
     import functools
 
@@ -193,14 +245,14 @@ def main(argv=None) -> int:
     eval_throttle = EvalThrottle(hp.eval_start_delay_secs,
                                  hp.eval_throttle_secs)
 
-    def run_eval(step_no):
+    def run_eval(step_no, eval_state):
         n = 0
         acc = {}
         for nb in val_ds_factory():
             if n >= hp.num_evaluation_steps:
                 break
             mb = to_model_batch(nb)
-            metrics, out_free, out_teacher = eval_step(state, mb)
+            metrics, out_free, out_teacher = eval_step(eval_state, mb)
             for k, v in metrics.items():
                 acc[k] = acc.get(k, 0.0) + float(v)
             if n == 0:
@@ -220,12 +272,19 @@ def main(argv=None) -> int:
         step_no = int(state.step)
         if args.max_steps is not None and step_no >= args.max_steps:
             break
-        mb = to_model_batch(nb)
-        if n_dev > 1:
+        mb_local = to_model_batch(nb)
+        if multihost:
+            # per-host local rows -> one global array over the mesh; the
+            # jitted step is a single SPMD program across all hosts
+            mb = assemble_global_batch(mb_local, mesh)
+        elif n_dev > 1:
             if nb.source.shape[0] % n_dev != 0:
                 continue  # partial batches are not shardable
-            mb = shard_batch(mb, mesh)
-        if hp.record_profile and not profiling and step_no == hp.profile_steps:
+            mb = shard_batch(mb_local, mesh)
+        else:
+            mb = mb_local
+        if (coordinator and hp.record_profile and not profiling
+                and step_no == hp.profile_steps):
             jax.profiler.start_trace(os.path.join(args.checkpoint_dir,
                                                   "profile"))
             profiling = True
@@ -239,12 +298,16 @@ def main(argv=None) -> int:
             t_last = time.time()
             scalars = {k: float(v) for k, v in metrics.items()}
             scalars["sec_per_step"] = dt / hp.log_step_count_steps
-            metrics_log.log(step_no, scalars)
+            if metrics_log:
+                metrics_log.log(step_no, scalars)
             log.info("step %d loss %.5f (%.3fs)", step_no, scalars["loss"],
                      scalars["sec_per_step"])
-        if train_saver.should_save(step_no):
+        if train_saver and train_saver.should_save(step_no):
             try:
-                aligns, outputs = alignment_probe(state, mb)
+                # global arrays may only enter computations every process
+                # runs; the coordinator-only probe uses host-local copies
+                probe_state = host_local_copy(state) if multihost else state
+                aligns, outputs = alignment_probe(probe_state, mb_local)
                 gt = nb.target if nb.target is not None else None
                 train_saver.save(step_no, nb.meta[0].key, nb.meta[0].text,
                                  [np.asarray(a[0]) for a in aligns],
@@ -252,15 +315,18 @@ def main(argv=None) -> int:
                                  np.asarray(outputs[0]))
             except Exception as e:  # plots must never kill training
                 log.warning("alignment save failed: %s", e)
+        # every process calls save (orbax coordinates; the primary writes)
         if ckpt.save(step_no, jax.device_get(state)):
             log.info("checkpoint @%d", step_no)
-            if eval_throttle.should_eval():
-                run_eval(step_no)
+            if coordinator and eval_throttle.should_eval():
+                run_eval(step_no,
+                         host_local_copy(state) if multihost else state)
 
     ckpt.save(int(state.step), jax.device_get(state), force=True)
     ckpt.wait()
     ckpt.close()
-    metrics_log.close()
+    if metrics_log:
+        metrics_log.close()
     log.info("done at step %d", int(state.step))
     return 0
 

@@ -245,6 +245,11 @@ class HParams:        # attribute of flax modules / jit closures)
     decoder_fused_dtype: str = "float32"  # float32 | bfloat16 in-kernel storage
     decoder_scan_unroll: int = 4  # lax.scan unroll of the decode loops
     seed: int = 12345
+    # multi-host mode glues per-host batch shards into one global array, so
+    # every host must emit identical static shapes each step: fixed pad
+    # lengths replace length-bucketed pads (parallel/multihost.py docstring)
+    multihost_target_pad_length: int = 0  # 0 -> max_iters * outputs_per_step
+    multihost_source_pad_length: int = 256
     checkpoint_async: bool = True
     num_parallel_reads: int = 0  # 0 -> cpu_count based (reference train.py:33-37)
     native_reader: bool = True  # use the C++ TFRecord reader when built

@@ -266,7 +266,9 @@ class Dataset:
                  target_files: Optional[Sequence[str]], hp: HParams,
                  target_kind: str = "codes", batch_size: Optional[int] = None,
                  shuffle: bool = True, repeat: bool = False, seed: int = 0,
-                 drop_remainder: bool = False, num_workers: int = 0):
+                 drop_remainder: bool = False, num_workers: int = 0,
+                 fixed_target_pad: Optional[int] = None,
+                 fixed_source_pad: Optional[int] = None):
         assert target_files is None or len(source_files) == len(target_files)
         self.pairs = list(zip(source_files,
                               target_files or [None] * len(source_files)))
@@ -277,6 +279,10 @@ class Dataset:
         self.repeat = repeat
         self.seed = seed
         self.drop_remainder = drop_remainder
+        # multi-host lockstep: every host must emit identical batch shapes,
+        # so a fixed pad replaces the per-bucket pad (parallel/multihost.py)
+        self.fixed_target_pad = fixed_target_pad
+        self.fixed_source_pad = fixed_source_pad
         self.bucketing = Bucketing(hp)
         if num_workers <= 0:
             import os
@@ -329,30 +335,56 @@ class Dataset:
             if not self.repeat:
                 return
 
+    def _pads_for(self, bid: int, batch: Sequence[Utterance]
+                  ) -> Tuple[int, int]:
+        tp = (self.fixed_target_pad if self.fixed_target_pad
+              else self.bucketing.target_pad_length(bid))
+        sp = (self.fixed_source_pad if self.fixed_source_pad
+              else self.bucketing.source_pad_length(
+                  max(x.source_length for x in batch)))
+        return tp, sp
+
+    def _fits_fixed_pads(self, u: Utterance) -> bool:
+        if (self.fixed_source_pad
+                and u.source_length > self.fixed_source_pad):
+            import logging
+            logging.getLogger(__name__).warning(
+                "skipping %s: source length %d > fixed pad %d",
+                u.meta.key, u.source_length, self.fixed_source_pad)
+            return False
+        if (self.fixed_target_pad and u.target is not None
+                and u.target_length > self.fixed_target_pad):
+            import logging
+            logging.getLogger(__name__).warning(
+                "skipping %s: target length %d > fixed pad %d",
+                u.meta.key, u.target_length, self.fixed_target_pad)
+            return False
+        return True
+
     def __iter__(self) -> Iterator[NumpyBatch]:
         buckets: dict = {}
         for u in self._utterances():
+            if not self._fits_fixed_pads(u):
+                continue
             if u.target is None:
                 # quantize source pads so predict compiles once per size class
                 yield pad_batch([u], self.hp, self.target_kind,
-                                source_pad=self.bucketing.source_pad_length(
-                                    u.source_length))
+                                source_pad=(
+                                    self.fixed_source_pad
+                                    or self.bucketing.source_pad_length(
+                                        u.source_length)))
                 continue
             bid = self.bucketing.bucket_id(u.target_length)
             buckets.setdefault(bid, []).append(u)
             if len(buckets[bid]) == self.batch_size:
                 batch = buckets.pop(bid)
                 yield pad_batch(batch, self.hp, self.target_kind,
-                                self.bucketing.target_pad_length(bid),
-                                self.bucketing.source_pad_length(
-                                    max(x.source_length for x in batch)))
+                                *self._pads_for(bid, batch))
         if not self.drop_remainder:
             for bid, batch in sorted(buckets.items()):
                 if batch:
                     yield pad_batch(batch, self.hp, self.target_kind,
-                                    self.bucketing.target_pad_length(bid),
-                                    self.bucketing.source_pad_length(
-                                        max(x.source_length for x in batch)))
+                                    *self._pads_for(bid, batch))
 
     def prefetch(self, buffer_size: Optional[int] = None
                  ) -> Iterator[NumpyBatch]:

@@ -6,8 +6,10 @@ parallelism via ``tf.contrib.distribute.MirroredStrategy``
 ``jax.sharding.Mesh``: the batch dimension is sharded over the ``data`` axis,
 parameters are replicated, and XLA inserts the gradient all-reduce (psum over
 ICI) automatically from the sharding annotations.  This also extends the
-reference: multi-host pods work with per-host data feeding via
-``jax.distributed.initialize`` + ``jax.make_array_from_process_local_data``.
+reference to multi-host pods: see ``parallel/multihost.py`` for
+``jax.distributed.initialize`` wiring, per-host input sharding, and
+global-batch assembly (tested with two real jax.distributed processes in
+tests/test_multihost.py).
 
 The model (<50M params) fits on one chip, so no tensor/pipeline parallelism
 is needed (SURVEY.md §2.4); the mesh is 1-D unless ``hp.mesh_shape`` says

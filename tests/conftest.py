@@ -18,6 +18,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process subprocess tests (minutes each)")
+
 # persistent compilation cache: repeated test runs skip XLA recompiles
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
