@@ -17,19 +17,14 @@ CFG=examples/codes/self-attention-tacotron.json
 
 python -c "from self_attention_tacotron_tpu.cli.preprocess import main_vqcodes; import sys; sys.exit(main_vqcodes())" \
   "$CODES_DIR" "$DATA_DIR" --num-codes 1025 --speaker-info "$SPEAKER_INFO" \
-  --hparam-json-file "$CFG"
+  --hparam-json-file "$CFG" --split 0.95:0.025:0.025
 
-python - "$DATA_DIR" <<'EOF'
-import sys, os
-d = sys.argv[1]
-keys = [k for k in open(os.path.join(d, "list.csv")).read().split() if k]
-n = len(keys)
-splits = {"train.csv": keys[: int(n * 0.95)],
-          "validation.csv": keys[int(n * 0.95): int(n * 0.975)],
-          "test.csv": keys[int(n * 0.975):]}
-for name, ks in splits.items():
-    open(os.path.join(d, name), "w").write("\n".join(ks) + "\n")
-EOF
+# prefer the reference's canonical splits when the corpus matches
+# (examples/codes/*.csv), cross-checked against the processed files
+for name in train validation test; do
+  python -m self_attention_tacotron_tpu.cli.speaker_selection crosscheck \
+    "examples/codes/$name.csv" "$DATA_DIR" --out "$DATA_DIR/$name.canonical.csv" || true
+done
 
 python -m self_attention_tacotron_tpu.cli.train \
   --source-data-root="$DATA_DIR" --target-data-root="$DATA_DIR" \

@@ -22,6 +22,10 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--source-only", action="store_true")
     p.add_argument("--target-only", action="store_true")
     p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--split", default=None, metavar="TRAIN:VAL:TEST",
+                   help="also write train/validation/test.csv key lists with "
+                        "these fractions (e.g. 0.9:0.05:0.05), seeded shuffle")
+    p.add_argument("--split-seed", type=int, default=0)
     return p
 
 
@@ -57,7 +61,42 @@ def _run(proc, args, with_stats=True):
             keys = [r if isinstance(r, str) else r.key for r in results]
     if keys:
         write_key_list(keys, args.out_dir)
+        if getattr(args, "split", None):
+            paths = write_split_key_lists(keys, args.out_dir, args.split,
+                                          args.split_seed)
+            log.info("split key lists -> %s", ", ".join(paths))
     return 0
+
+
+def write_split_key_lists(keys, out_dir: str, spec: str, seed: int = 0):
+    """Split a corpus key list into train/validation/test.csv.
+
+    The reference SHIPS its split lists (reference:
+    examples/ljspeech/{train,validation,test}.csv) but has no in-repo tool
+    that produces them; this closes that gap for new corpora with a seeded
+    deterministic shuffle.
+    """
+    import random
+
+    fracs = [float(x) for x in spec.split(":")]
+    if len(fracs) != 3 or abs(sum(fracs) - 1.0) > 1e-6:
+        raise ValueError(f"--split must be three fractions summing to 1, "
+                         f"got {spec!r}")
+    keys = list(keys)
+    random.Random(seed).shuffle(keys)
+    n = len(keys)
+    n_train = int(round(fracs[0] * n))
+    n_val = int(round(fracs[1] * n))
+    splits = {"train.csv": keys[:n_train],
+              "validation.csv": keys[n_train:n_train + n_val],
+              "test.csv": keys[n_train + n_val:]}
+    paths = []
+    for name, part in splits.items():
+        path = os.path.join(out_dir, name)
+        with open(path, "w") as f:
+            f.write("\n".join(part) + ("\n" if part else ""))
+        paths.append(path)
+    return paths
 
 
 def main_ljspeech(argv=None) -> int:
