@@ -39,6 +39,34 @@ def build_argparser(kind: str) -> argparse.ArgumentParser:
     return p
 
 
+def make_alignment_replay(hp, state):
+    """Plot-mode replay for the fast serving paths.
+
+    The fused whole-loop kernel and the Pallas attention mode do not
+    materialize self-attention probabilities (PERF.md); the reference
+    treats alignment PNGs as its primary integration diagnostic
+    (reference: modules/metrics.py:13-53), so when plots are requested we
+    re-run the decode once through the einsum/scan path on the same
+    parameters (bit-near parity is what tests/test_fused_decode.py and
+    tests/test_pallas.py establish) and take the alignments from there.
+
+    Returns None when the configured paths already materialize alignments.
+    """
+    if not (hp.use_pallas_attention or hp.decoder_fused_inference):
+        return None
+    from ..models import tacotron_model_factory
+    from ..parallel import make_predict_step
+    hp_plot = hp.replace(use_pallas_attention=False,
+                         decoder_fused_inference=False)
+    plot_model = tacotron_model_factory(hp_plot)
+    replay_step = make_predict_step(plot_model, hp_plot)
+
+    def replay(batch):
+        return replay_step(state, batch)
+
+    return replay
+
+
 def predict(kind: str, argv=None) -> int:
     args = build_argparser(kind).parse_args(argv)
     from .train import load_hparams
@@ -81,6 +109,10 @@ def predict(kind: str, argv=None) -> int:
     state = restored
     log.info("restored checkpoint step %d", int(state.step))
     predict_step = make_predict_step(model, hp)
+    alignment_replay = make_alignment_replay(hp, state)
+    if alignment_replay is not None:
+        log.info("fast serving path configured; alignment plots come from a "
+                 "one-shot einsum-path replay per utterance")
 
     count = 0
     for nb in ds:
@@ -110,9 +142,12 @@ def predict(kind: str, argv=None) -> int:
         payload.astype("<f4").tofile(mfbsp, format="<f4")
 
         # alignment PNG (reference: plot_predictions call predict_mel.py:62)
-        aligns = [np.asarray(a[0]) for a in out.alignments]
+        plot_src = out
+        if alignment_replay is not None:
+            plot_src = alignment_replay(infer_mb)
+        aligns = [np.asarray(a[0]) for a in plot_src.alignments]
         aligns += [np.asarray(a[0]) for a in
-                   out.decoder_self_attention_alignments[:2]]
+                   plot_src.decoder_self_attention_alignments[:2]]
         png = os.path.join(args.output_dir, f"{meta.key}.png")
         plot_predictions(aligns, ground_truth, payload, meta.text, meta.key,
                          png)

@@ -149,12 +149,17 @@ def main_vqcodes(argv=None) -> int:
     p.add_argument("--num-codes", type=int, default=1025)
     p.add_argument("--speaker-info", default="speaker-info.txt")
     p.add_argument("--siwis", action="store_true")
+    p.add_argument("--accent-file", default=None,
+                   help="'ID ACCENTS' table (speaker_selection/accents.txt "
+                        "format); emits per-token accent ids into the source "
+                        "records for the *WithAccentType encoders")
     args = p.parse_args(argv)
     from ..data.preprocess.codes import CODES, SiwisCodes
     hp = _load_hp(args)
     cls = SiwisCodes if args.siwis else CODES
     proc = cls(args.in_dir, args.out_dir, args.version, args.num_codes, hp,
-               speaker_info_filename=args.speaker_info)
+               speaker_info_filename=args.speaker_info,
+               accent_file=args.accent_file)
     return _run(proc, args, with_stats=False)
 
 

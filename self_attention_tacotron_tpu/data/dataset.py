@@ -154,9 +154,20 @@ def load_utterance(source_file: str, target_file: Optional[str],
 
     accent = None
     if hp.use_accent_type:
-        # accent ids travel in the source sequence domain; absent corpora
-        # fall back to the unknown accent id (reference: hparams.py:59)
-        accent = np.full(source_length, hp.accent_type_unknown, np.int64)
+        # accent ids travel in the source sequence domain (reference:
+        # hparams.py:55-62); corpora whose source records carry them use the
+        # recorded ids, others fall back to the unknown accent id.  The
+        # recorded ids follow the chosen source stream (char vs phone).
+        if src.accent_type is not None and len(src.accent_type) > 0:
+            rec_accent = np.asarray(src.accent_type, np.int64)
+            if len(rec_accent) >= source_length:
+                accent = rec_accent[:source_length]
+            else:  # pad short annotation streams with the unknown id
+                accent = np.full(source_length, hp.accent_type_unknown,
+                                 np.int64)
+                accent[:len(rec_accent)] = rec_accent
+        else:
+            accent = np.full(source_length, hp.accent_type_unknown, np.int64)
 
     return Utterance(meta=meta, source=np.asarray(source, np.int64),
                      source_length=int(source_length),

@@ -34,21 +34,52 @@ class TxtCodeRecord(NamedTuple):
     lang: str = "EN"
 
 
+def load_accent_map(path: str) -> dict:
+    """speaker id -> dense accent index from an 'ID ACCENTS' table
+    (speaker_selection/accents.txt format); indices follow first-seen order
+    of the accent names so the mapping is deterministic."""
+    accents: dict = {}
+    order: List[str] = []
+    with open(path, encoding="utf8") as f:
+        lines = [line.split() for line in f if line.strip()]
+    for parts in lines[1:]:  # skip the 'ID ACCENTS' header
+        if len(parts) < 2:
+            continue
+        if parts[1] not in order:
+            order.append(parts[1])
+        accents[parts[0]] = order.index(parts[1])
+    return accents
+
+
 class CODES:
     def __init__(self, in_dir: str, out_dir: str, version: int,
                  num_codes: int, hparams: HParams,
-                 speaker_info_filename: str = "speaker-info.txt"):
+                 speaker_info_filename: str = "speaker-info.txt",
+                 accent_file: Optional[str] = None):
         self.in_dir = in_dir
         self.out_dir = out_dir
         self.version = int(version)
         self.num_codes = int(num_codes)
         self.hparams = hparams
         self.speaker_info_filename = speaker_info_filename
+        # per-speaker accent annotation: accent ids live in the source-token
+        # domain (reference: hparams.py:55-62); English-corpus speakers get
+        # their speaker-level accent broadcast over the tokens, offset into
+        # the accent embedding's id range
+        self.accent_map = load_accent_map(accent_file) if accent_file else None
         self.g2p = None
         if hparams.phoneme == "flite":
             g2p = Flite(hparams.flite_binary_path,
                         hparams.phoneset_path or "uscmu")
             self.g2p = g2p if g2p.available() else None
+
+    def _accent_ids(self, speaker_id, length: int) -> Optional[np.ndarray]:
+        if self.accent_map is None:
+            return None
+        idx = self.accent_map.get(str(speaker_id))
+        value = (self.hparams.accent_type_offset + idx if idx is not None
+                 else self.hparams.accent_type_unknown)
+        return np.full(length, value, np.int64)
 
     def list_files(self) -> List[TxtCodeRecord]:
         records = []
@@ -118,7 +149,11 @@ class CODES:
                        if phone_ids is not None
                        else np.zeros((0,), np.int64)),
                 phone_length=len(phone_ids) if phone_ids is not None else 0,
-                phone_txt=phone_txt or "", lang=record.lang),
+                phone_txt=phone_txt or "", lang=record.lang,
+                accent_type=self._accent_ids(
+                    record.speaker_info.id,
+                    max(len(source),
+                        len(phone_ids) if phone_ids is not None else 0))),
             path, with_speaker=True, with_phone=True, with_lang=True)
         return record.key
 
@@ -132,9 +167,10 @@ class SiwisCodes(CODES):
 
     def __init__(self, in_dir: str, out_dir: str, version: int,
                  num_codes: int, hparams: HParams,
-                 speaker_info_filename: str = "siwis-speaker-info.txt"):
+                 speaker_info_filename: str = "siwis-speaker-info.txt",
+                 accent_file: Optional[str] = None):
         super().__init__(in_dir, out_dir, version, num_codes, hparams,
-                         speaker_info_filename)
+                         speaker_info_filename, accent_file=accent_file)
 
     @staticmethod
     def _lang_of(filename: str) -> str:

@@ -34,6 +34,9 @@ class SourceRecord(NamedTuple):
     phone_length: int = 0
     phone_txt: str = ""
     lang: str = ""
+    accent_type: Optional[np.ndarray] = None  # (T,) int64 per-token accent
+    #   ids, source-sequence domain (reference capability: hparams.py:55-62,
+    #   EncoderV1WithAccentType / SelfAttentionCBHGEncoderWithAccentType)
 
 
 def write_source_record(rec: SourceRecord, path: str,
@@ -59,6 +62,9 @@ def write_source_record(rec: SourceRecord, path: str,
         feats["phone_txt"] = bytes_feature([rec.phone_txt.encode("utf-8")])
     if with_lang:
         feats["lang"] = bytes_feature([rec.lang.encode("utf-8")])
+    if rec.accent_type is not None:
+        feats["accent_type"] = bytes_feature(
+            [np.asarray(rec.accent_type, np.int64).tobytes()])
     write_example(feats, path)
 
 
@@ -85,6 +91,8 @@ def parse_source_record(example: dict) -> SourceRecord:
         phone_length=int(_get(example, "phone_length", [0])[0]),
         phone_txt=_get(example, "phone_txt", [b""])[0].decode("utf-8"),
         lang=_get(example, "lang", [b""])[0].decode("utf-8"),
+        accent_type=(np.frombuffer(_get(example, "accent_type")[0], np.int64)
+                     if _get(example, "accent_type") is not None else None),
     )
 
 

@@ -66,12 +66,16 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
 
 def fused_self_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                          causal: bool = False, block_q: int = 128,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = None) -> jax.Array:
     """softmax(q k^T / sqrt(d)) v over (B, H, T, D) tensors.
 
     Equivalent to the einsum path in ops/attention_core.MultiHeadAttention
     (without dropout); alignments are not materialized.
+    ``interpret=None`` auto-selects interpret mode off-TPU (same policy as
+    ops/fused_decode.py) so Pallas-configured models run anywhere.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, H, T, D = q.shape
     scale = 1.0 / (D ** 0.5)
     Tp = _round_up(T, block_q)
@@ -123,11 +127,14 @@ def _incremental_kernel(q_ref, k_ref, v_ref, t_ref, o_ref, *, scale: float):
 
 def incremental_attention_step(q_t: jax.Array, key_cache: jax.Array,
                                value_cache: jax.Array, t: jax.Array,
-                               interpret: bool = False) -> jax.Array:
+                               interpret: bool = None) -> jax.Array:
     """(B, H, D) query vs (B, H, T, D) caches -> (B, H, D) context.
 
     Same math as MultiHeadAttention.step's einsum path (causal prefix mask).
+    ``interpret=None`` auto-selects interpret mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     B, H, T, D = key_cache.shape
     scale = 1.0 / (D ** 0.5)
     Tp = _round_up(T, 8)
