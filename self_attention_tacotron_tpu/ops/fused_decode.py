@@ -149,16 +149,28 @@ def _kernel(spec: dict, *refs):
     cr = spec["cr"]          # num_mels * r (output row, without stop column)
     cf = spec["cf"]          # num_mels * n_feed_frame (feedback width)
     mat_aligns = spec["materialize_aligns"]
+    row_mode = spec["row_mode"]       # B == 1 latency path (see below)
 
     it = iter(refs)
-    # keys (B*T,U), values (B*T,C), mask (B*T,1), indicator (B*T,B)
-    mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
+    if row_mode:
+        # B=1 row-oriented layout: every softmax reduction runs along the
+        # lane axis (rows), and both sources' energies/contexts fuse into
+        # single matmuls via block-diagonal packing
+        keys_T = next(it)             # (sum U_i, T) transposed keys
+        v_bd = next(it)               # (sum U_i, ns) block-diag energy vecs
+        values_cat = next(it)         # (T, sum C_i)
+        mask_rows = next(it)          # (ns, T) float {1, 0}
+        ctx_mask = next(it)           # (ns, sum C_i) block-i-on-row-i {1, 0}
+        mem = []
+    else:
+        # keys (B*T,U), values (B*T,C), mask (B*T,1), indicator (B*T,B)
+        mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
     ind_s = next(it)                  # (B*S, B) indicator for the KV caches
     pos_s = next(it)                  # (B*S, 1) int32: position within block
     prenet = [(next(it), next(it)) for _ in range(n_pre)]
     att_lstm = (next(it), next(it))
     query_all = next(it)              # (A, sum U_i): all query projections
-    vs = [next(it) for _ in range(ns)]  # (U_i, 1) energy vectors
+    vs = [] if row_mode else [next(it) for _ in range(ns)]  # (U_i, 1) vecs
     outproj = (next(it), next(it))
     lstm1 = (next(it), next(it))
     lstm2 = (next(it), next(it))
@@ -201,34 +213,65 @@ def _kernel(spec: dict, *refs):
         c_att, h_att = _lstm(z, att_lstm[0], att_lstm[1], c_att, h_att,
                              spec["zc_att"], spec["zo_att"])
 
-        # additive attention per source (models/attention.py:84-89); the
-        # per-source query projections run as one fused matmul
-        pq_all = _mm(h_att, query_all[...])                # (B, sum U_i)
-        ctxs = []
-        u_off = 0
-        for i, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref) in \
-                enumerate(zip(mem, vs)):
-            u = int(v_ref.shape[0])
-            T = keys_ref.shape[0] // B
-            ind = ind_ref[...].astype(f32)
-            pq_b = pq_all[:, u_off:u_off + u]              # (B, U)
-            # B == 1: (1, U) broadcasts against (T, U) for free
-            pq = pq_b if B == 1 else _mm(ind, pq_b)        # (B*T, U)
-            u_off += u
-            e = jnp.tanh(keys_ref[...].astype(f32) + pq)   # (B*T, U)
-            e_col = _mm_col(e, v_ref[...])                 # (B*T, 1)
-            e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
-            a_col = _block_softmax(e_col, ind, B, T)
+        # additive attention (models/attention.py:84-89)
+        if row_mode:
+            # B=1 fused path: all sources' energies in ONE matmul pair, all
+            # reductions along lanes.
+            #   pq^T  (sumU, 1) = query_all (A, sumU) ^T h_att (1, A)
+            #   e^T   (sumU, T) = tanh(keys^T + pq^T)
+            #   e_rows (ns, T)  = v_bd^T (ns, sumU) @ e^T
+            pq_T = jax.lax.dot_general(
+                query_all[...].astype(f32), h_att,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=f32)                # (sumU, 1)
+            e_T = jnp.tanh(keys_T[...].astype(f32) + pq_T)  # (sumU, T)
+            e_rows = jax.lax.dot_general(
+                v_bd[...].astype(f32), e_T,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32)                # (ns, T)
+            e_rows = jnp.where(mask_rows[...] > 0.5, e_rows, NEG_INF)
+            m = jnp.max(e_rows, axis=1, keepdims=True)
+            ex = jnp.exp(e_rows - m)
+            a_rows = ex / jnp.sum(ex, axis=1, keepdims=True)   # (ns, T)
             if mat_aligns:
-                align_refs[i][pl.ds(t, 1), :] = \
-                    jnp.transpose(a_col).astype(align_refs[i].dtype)
-            # ctx_b = sum_t a[b,t] * values[b,t,:]
-            if B == 1:
-                ctxs.append(_block_reduce(a_col, values_ref[...].astype(f32)))
-            else:
+                for i in range(ns):
+                    align_refs[i][pl.ds(t, 1), :] = \
+                        a_rows[i:i + 1].astype(align_refs[i].dtype)
+            # per-source contexts in ONE matmul: row i of
+            # a_rows @ values_cat holds [a_i . V_1 | a_i . V_2 | ...]; the
+            # wanted context is block i of row i — selected by mask+sum
+            # (lane-offset slices + concat are not Mosaic-layout-friendly)
+            ctx_all = jax.lax.dot_general(
+                a_rows, values_cat[...].astype(f32),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                # (ns, sumC)
+            ctx = jnp.sum(ctx_all * ctx_mask[...].astype(f32),
+                          axis=0, keepdims=True)           # (1, sumC)
+        else:
+            # batched path: block-indicator matmuls over flattened rows; the
+            # per-source query projections run as one fused matmul
+            pq_all = _mm(h_att, query_all[...])            # (B, sum U_i)
+            ctxs = []
+            u_off = 0
+            for i, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref) in \
+                    enumerate(zip(mem, vs)):
+                u = int(v_ref.shape[0])
+                T = keys_ref.shape[0] // B
+                ind = ind_ref[...].astype(f32)
+                pq_b = pq_all[:, u_off:u_off + u]          # (B, U)
+                pq = _mm(ind, pq_b)                        # (B*T, U)
+                u_off += u
+                e = jnp.tanh(keys_ref[...].astype(f32) + pq)   # (B*T, U)
+                e_col = _mm_col(e, v_ref[...])             # (B*T, 1)
+                e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
+                a_col = _block_softmax(e_col, ind, B, T)
+                if mat_aligns:
+                    align_refs[i][pl.ds(t, 1), :] = \
+                        jnp.transpose(a_col).astype(align_refs[i].dtype)
+                # ctx_b = sum_t a[b,t] * values[b,t,:]
                 ctxs.append(_block_reduce(
                     ind, a_col * values_ref[...].astype(f32)))  # (B, C_i)
-        ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
+            ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
 
         # DecoderRNNV1/V2: projection + two residual LSTMs
         proj = _mm(jnp.concatenate([h_att, ctx], axis=1), outproj[0][...]) \
@@ -244,7 +287,11 @@ def _kernel(spec: dict, *refs):
 
         # causal self-attention hops with flat (B*S, D) VMEM KV caches;
         # K|V|Q projections fused into one (D, 3D) matmul
-        if n_hops:
+        if n_hops and row_mode:
+            # (1, S) score/probability ROWS: masks and softmaxes reduce
+            # along lanes instead of across 450 sublanes
+            valid_row = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) <= t
+        elif n_hops:
             ind_sf = ind_s[...].astype(f32)
             valid = pos_s[...] <= t                        # (B*S, 1)
         for (wkvq, bkvq, wo, bo, wt, bt), (kc, vc) in zip(hops, caches):
@@ -259,20 +306,25 @@ def _kernel(spec: dict, *refs):
             hctx = []
             for h in range(n_heads):
                 sl = slice(h * head_dim, (h + 1) * head_dim)
-                if B == 1:  # single query row: one MXU dot per head
-                    s_col = jax.lax.dot_general(
-                        k_all[:, sl], q_t[:, sl],
+                if row_mode:  # one MXU dot -> (1, S) score row
+                    s_row = jax.lax.dot_general(
+                        q_t[:, sl], k_all[:, sl],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=f32) * sa_scale
+                    s_row = jnp.where(valid_row, s_row, NEG_INF)
+                    m_r = jnp.max(s_row, axis=1, keepdims=True)
+                    ex_r = jnp.exp(s_row - m_r)
+                    p_row = ex_r / jnp.sum(ex_r, axis=1, keepdims=True)
+                    hctx.append(jax.lax.dot_general(
+                        p_row, v_all[:, sl],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32))       # (1, head_dim)
                 else:
                     q_rep = _mm(ind_sf, q_t[:, sl])        # (B*S, head_dim)
                     s_col = jnp.sum(k_all[:, sl] * q_rep, axis=1,
                                     keepdims=True) * sa_scale  # (B*S, 1)
-                s_col = jnp.where(valid, s_col, NEG_INF)
-                p_col = _block_softmax(s_col, ind_sf, B, S)
-                if B == 1:
-                    hctx.append(_block_reduce(p_col, v_all[:, sl]))
-                else:
+                    s_col = jnp.where(valid, s_col, NEG_INF)
+                    p_col = _block_softmax(s_col, ind_sf, B, S)
                     hctx.append(_block_reduce(ind_sf, p_col * v_all[:, sl]))
             attn = _mm(jnp.concatenate(hctx, axis=1), wo[...]) \
                 + bo[...].astype(f32)
@@ -289,7 +341,8 @@ def _kernel(spec: dict, *refs):
         return (x_next, ctx, h_att, c_att, h1, c1, h2, c2), stop_col
 
     zeros = lambda n: jnp.zeros((B, n), f32)
-    cctx = sum(int(v.shape[1]) for _, v, _, _ in mem)
+    cctx = (sum(spec["c_sizes"]) if row_mode
+            else sum(int(v.shape[1]) for _, v, _, _ in mem))
     carry0 = (zeros(cf), zeros(cctx), zeros(A), zeros(A),
               zeros(D), zeros(D), zeros(D), zeros(D))
     if spec["early_stop"]:
@@ -373,10 +426,16 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     cf = num_mels * n_feed_frame
     mat_aligns = B == 1
 
+    # B == 1 runs the row-oriented latency path (see _kernel): requires all
+    # sources to share one memory length (always true — dual-source
+    # attention attends to two views of the SAME encoder sequence)
+    row_mode = B == 1 and len({int(k.shape[1]) for k in memory.keys}) == 1
+
     spec = dict(num_sources=len(memory.keys), num_prenet=len(params.prenet),
                 num_hops=len(params.hops), num_heads=num_heads,
                 num_steps=S, cr=cr, cf=cf, batch=B,
-                materialize_aligns=mat_aligns,
+                materialize_aligns=mat_aligns, row_mode=row_mode,
+                c_sizes=tuple(int(v.shape[2]) for v in memory.values),
                 zc_att=float(zoneout_cell), zo_att=float(zoneout_output),
                 zc_dec=float(dec_zoneout_cell),
                 zo_dec=float(dec_zoneout_output),
@@ -389,14 +448,38 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
         return x.reshape(B * x.shape[1], x.shape[2])
 
     ins = []
-    t_lens = []
-    for k, v, m in zip(memory.keys, memory.values, memory.masks):
-        T = int(k.shape[1])
-        t_lens.append(T)
-        ind = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
-                                  np.ones((T, 1), np.float32)))
-        ins += [w(flat(k)), w(flat(v)),
-                jnp.asarray(m.reshape(B * T, 1), jnp.float32), ind]
+    t_lens = [int(k.shape[1]) for k in memory.keys]
+    if row_mode:
+        # transposed concatenated keys, block-diag energy vectors,
+        # concatenated values, stacked mask rows
+        keys_T = jnp.concatenate(
+            [jnp.transpose(k[0]) for k in memory.keys], axis=0)  # (sumU, T)
+        u_sizes = [int(vq.shape[0]) for _, vq in params.query]
+        v_bd = np.zeros((sum(u_sizes), len(u_sizes)), np.float32)
+        off = 0
+        v_bd = jnp.asarray(v_bd)
+        for i, (_, vq) in enumerate(params.query):
+            v_bd = v_bd.at[off:off + u_sizes[i], i:i + 1].set(
+                jnp.asarray(vq, jnp.float32))
+            off += u_sizes[i]
+        values_cat = jnp.concatenate([v[0] for v in memory.values], axis=1)
+        mask_rows = jnp.concatenate(
+            [m.reshape(1, -1) for m in memory.masks], axis=0)
+        c_sizes = [int(v.shape[2]) for v in memory.values]
+        ctx_mask = np.zeros((len(c_sizes), sum(c_sizes)), np.float32)
+        c_off = 0
+        for i, c in enumerate(c_sizes):
+            ctx_mask[i, c_off:c_off + c] = 1.0
+            c_off += c
+        ins += [w(keys_T), w(v_bd), w(values_cat),
+                jnp.asarray(mask_rows, jnp.float32), jnp.asarray(ctx_mask)]
+    else:
+        for k, v, m in zip(memory.keys, memory.values, memory.masks):
+            T = int(k.shape[1])
+            ind = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
+                                      np.ones((T, 1), np.float32)))
+            ins += [w(flat(k)), w(flat(v)),
+                    jnp.asarray(m.reshape(B * T, 1), jnp.float32), ind]
     ind_s = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
                                 np.ones((S, 1), np.float32)))
     pos_s = jnp.asarray((np.arange(B * S) % S).reshape(B * S, 1), jnp.int32)
@@ -406,7 +489,8 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     ins += [w(params.att_lstm[0]), w(params.att_lstm[1])]
     # all source query projections fused into one matmul
     ins += [w(jnp.concatenate([wq for wq, _ in params.query], axis=1))]
-    ins += [w(v) for _, v in params.query]
+    if not row_mode:
+        ins += [w(v) for _, v in params.query]
     ins += [w(params.outproj[0]), w(params.outproj[1]),
             w(params.lstm1[0]), w(params.lstm1[1]),
             w(params.lstm2[0]), w(params.lstm2[1])]
