@@ -125,6 +125,10 @@ class TacotronDecoder(nn.Module):
     fused_inference: bool = False    # whole-loop Pallas decode kernel
     #                                  (ops/fused_decode.py); falls back to
     #                                  the scan path outside its subset
+    fused_train: bool = False        # fused Pallas teacher-forced training
+    #                                  scan, fwd + custom-VJP bwd with
+    #                                  VMEM-resident trunk weights
+    #                                  (ops/fused_train.py)
     fused_dtype: str = "float32"     # float32 | bfloat16 in-kernel storage
     scan_unroll: int = 4             # lax.scan unroll for the decode loops
     #                                  (~10% train-step win on v5e)
@@ -397,17 +401,22 @@ class TacotronDecoder(nn.Module):
                                 speaker_embed, memory_lengths):
         """Teacher-forced RNN scan, then parallel causal hops + heads
         (reference: modules/module.py:743-765)."""
-        carry = self._initial_rnn_carry(B, packs)
+        if (self.fused_train and not self.is_initializing()
+                and self._fused_train_supported(B, packs)):
+            rnn_out, aligns = self._train_scan_fused(packs, B, teacher_xs)
+        else:
+            carry = self._initial_rnn_carry(B, packs)
 
-        def step(mdl, c, x_t):
-            return mdl._rnn_step(c, x_t, packs, speaker_embed,
-                                 is_training=True)
+            def step(mdl, c, x_t):
+                return mdl._rnn_step(c, x_t, packs, speaker_embed,
+                                     is_training=True)
 
-        scan = nn.scan(step, variable_broadcast="params",
-                       split_rngs={"params": False, "dropout": True, "zoneout": True},
-                       in_axes=1, out_axes=1, unroll=self.scan_unroll)
-        _, (rnn_out, aligns) = scan(self, carry, teacher_xs)
-        # rnn_out: (B, T, D); aligns: tuple of (B, T, T_mem)
+            scan = nn.scan(step, variable_broadcast="params",
+                           split_rngs={"params": False, "dropout": True,
+                                       "zoneout": True},
+                           in_axes=1, out_axes=1, unroll=self.scan_unroll)
+            _, (rnn_out, aligns) = scan(self, carry, teacher_xs)
+            # rnn_out: (B, T, D); aligns: tuple of (B, T, T_mem)
 
         y = rnn_out
         sa_aligns: List[jax.Array] = []
@@ -417,6 +426,90 @@ class TacotronDecoder(nn.Module):
         outs, stop = self._heads_full(y)
         return self._package(outs, stop, aligns, sa_aligns,
                              jnp.full((B,), num_steps, jnp.int32), num_steps)
+
+    # --------------------------------- fused teacher-forced training scan
+    def _fused_train_supported(self, B, packs) -> bool:
+        """Gate for ops/fused_train.py; outside the subset the XLA scan
+        runs, with the reason logged once (never config-silent)."""
+        from .attention import AdditiveAttention
+        reason = None
+        on_tpu = jax.default_backend() == "tpu"
+        if self.output_kind != "single":
+            reason = f"output_kind={self.output_kind!r} is not fused"
+        elif self.use_speaker_embed:
+            reason = "speaker-embedding prenet conditioning is not fused"
+        elif any(p.teacher_alignments is not None for p in packs):
+            reason = "forced-alignment replay is not fused"
+        elif not all(isinstance(m, AdditiveAttention)
+                     for m in self.attention_mechanisms):
+            reason = ("non-additive attention mechanism(s): "
+                      + ", ".join(type(m).__name__
+                                  for m in self.attention_mechanisms))
+        elif len({int(p.values.shape[1]) for p in packs}) != 1:
+            reason = "sources with different memory lengths"
+        elif on_tpu and B % 8 != 0:
+            reason = f"batch {B} is not a multiple of 8 (sublane tiling)"
+        elif on_tpu and any(
+                d % 128 for d in (self.attention_rnn_out_units,
+                                  self.decoder_out_units,
+                                  *self.prenet_out_units)):
+            reason = ("attention/decoder/prenet units must be multiples of "
+                      "128 on TPU (the flagship's 256/256/(256,128) are)")
+        if reason is not None:
+            _warn_fused_fallback("[train] " + reason)
+        return reason is None
+
+    def _train_scan_fused(self, packs, B, teacher_xs):
+        """Run ops/fused_train.fused_teacher_scan on this module's bound
+        params.  Identical math to the nn.scan over ``_rnn_step`` (verified
+        in tests/test_fused_train.py: forward AND gradients); the in-kernel
+        dropout/zoneout PRNG streams differ from XLA's threefry — different
+        but equally valid randomness.  Source-attention alignment
+        probabilities are not materialized in TRAIN mode (zeros) — training
+        plots come from the VALIDATION-mode alignment probe
+        (cli/train.py)."""
+        from ..ops import fused_train as ft
+
+        def p(module):
+            return module.variables["params"]
+
+        prenet_p = p(self.prenets)
+        prenet = tuple(
+            (prenet_p[f"prenet_{i}"]["dense"]["kernel"],
+             prenet_p[f"prenet_{i}"]["dense"]["bias"].reshape(1, -1))
+            for i in range(len(self.prenet_out_units)))
+        al = p(self.attention_lstm)
+        query = tuple(
+            (p(m)["query_layer"]["kernel"], jnp.transpose(p(m)["attention_v"]))
+            for m in self.attention_mechanisms)
+        op = p(self.output_projection_wrapper)
+        l1, l2 = p(self.decoder_lstm1), p(self.decoder_lstm2)
+        params = ft.FusedTrainParams(
+            prenet=prenet,
+            att_lstm=(al["kernel"], al["bias"].reshape(1, -1)),
+            query=query,
+            outproj=(op["kernel"], op["bias"].reshape(1, -1)),
+            lstm1=(l1["kernel"], l1["bias"].reshape(1, -1)),
+            lstm2=(l2["kernel"], l2["bias"].reshape(1, -1)))
+        keys = tuple(pk.keys for pk in packs)
+        values = tuple(pk.values for pk in packs)
+        masks = tuple(pk.mask.astype(jnp.float32) for pk in packs)
+        seed = jax.random.randint(self.make_rng("dropout"), (), 0, 1 << 23,
+                                  jnp.int32)
+        zc_dec = (self.zoneout_factor_cell if self.decoder_version == "v2"
+                  else 0.0)
+        zo_dec = (self.zoneout_factor_output if self.decoder_version == "v2"
+                  else 0.0)
+        rnn_out = ft.fused_teacher_scan(
+            params, keys, values, masks, teacher_xs.astype(jnp.float32),
+            seed, drop_rate=self.drop_rate,
+            zc_att=self.zoneout_factor_cell,
+            zo_att=self.zoneout_factor_output,
+            zc_dec=zc_dec, zo_dec=zo_dec, deterministic=False)
+        T_steps = teacher_xs.shape[1]
+        aligns = tuple(jnp.zeros((B, T_steps, pk.values.shape[1]), self.dtype)
+                       for pk in packs)
+        return rnn_out.astype(self.dtype), aligns
 
     # -------------------------------------------------- decode path (serial)
     def _decode_path(self, packs, B, num_steps, teacher_xs, mode,

@@ -250,6 +250,7 @@ class TacotronModel(nn.Module):
             early_stop=hp.decoder_early_stop,
             fused_inference=hp.decoder_fused_inference,
             fused_dtype=hp.decoder_fused_dtype,
+            fused_train=hp.decoder_fused_train,
             scan_unroll=hp.decoder_scan_unroll,
             dtype=dtype, **cfg)
 

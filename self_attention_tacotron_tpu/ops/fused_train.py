@@ -1,0 +1,858 @@
+"""Fused Pallas kernels for the TEACHER-FORCED training scan (fwd + bwd).
+
+Why: the training step is weight-bandwidth bound and far from its roofline
+(PERF.md round-2 analysis: <=15-22 % of even a conservative bound).  XLA
+re-streams every decoder-trunk weight from HBM on each of the T scan
+iterations, forward and again backward.  These kernels run the whole
+teacher-forced RNN trunk — prenet -> attention LSTM -> additive
+attention(s) -> projection -> two residual LSTMs (models/decoder.py
+``_rnn_step``) — as ONE forward kernel and ONE backward kernel with all
+trunk weights resident in VMEM across every step, wrapped in a
+``jax.custom_vjp``.  The causal self-attention hops and output heads stay
+in XLA: they are already parallel, MXU-shaped batched matmuls.
+
+Memory plan: per-step activations needed by the backward pass are packed
+into one lane-aligned row block and DMA'd to an HBM save buffer each
+forward step (~tens of KB/step; HBM has GBs, VMEM does not).  The backward
+kernel walks time in reverse, DMA-ing each step's block (and its
+predecessor's, for the recurrent states) back into VMEM, and accumulates
+weight/key/value gradients in VMEM output buffers.
+
+Stochasticity: prenet dropout and zoneout masks are generated in-kernel
+with the TPU PRNG, seeded per (seed, step) in a fixed order, so the
+backward kernel REGENERATES the exact forward masks instead of saving
+them.  The mask streams differ from the XLA path's threefry streams —
+different but equally valid randomness; numerical parity with the XLA
+path is therefore asserted with dropout/zoneout disabled
+(tests/test_fused_train.py) and the stochastic pieces are tested
+statistically and via gradient checks.
+
+Reference provenance: the math is the reference decoder wrapper stack
+(reference: modules/module.py:1017-1048 DualSourceAttentionRNN,
+@tacotron2 DecoderRNNV1/V2, modules/rnn_wrappers.py prenet wrappers),
+identical to models/decoder.py ``_rnn_step``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fused_decode import _mm, NEG_INF
+
+Array = jax.Array
+
+
+class FusedTrainParams(NamedTuple):
+    """Trunk weights, pre-shaped for the kernels (biases as (1, N) rows)."""
+
+    prenet: Tuple[Tuple[Array, Array], ...]  # per layer (W (in,out), b)
+    att_lstm: Tuple[Array, Array]            # (Zin, 4A), (1, 4A)
+    query: Tuple[Tuple[Array, Array], ...]   # per source (Wq (A,U), v (U,1))
+    outproj: Tuple[Array, Array]             # (A+sumC, D), (1, D)
+    lstm1: Tuple[Array, Array]               # (2D, 4D), (1, 4D)
+    lstm2: Tuple[Array, Array]
+
+
+class TrainSpec(NamedTuple):
+    """Hashable static configuration (nondiff argument of the custom_vjp)."""
+
+    batch: int
+    num_steps: int
+    cf: int                       # feedback width (num_mels * n_feed_frame)
+    num_sources: int
+    t_mem: int                    # shared memory length T_in
+    u_sizes: Tuple[int, ...]      # attention units per source
+    c_sizes: Tuple[int, ...]      # value widths per source
+    p_sizes: Tuple[int, ...]      # prenet layer widths
+    a_units: int                  # attention-RNN units A
+    d_units: int                  # decoder-RNN units D
+    drop_rate: float
+    zc_att: float
+    zo_att: float
+    zc_dec: float
+    zo_dec: float
+    deterministic: bool           # True: no dropout, expectation zoneout
+    interpret: bool
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _save_layout(spec: TrainSpec):
+    """(name, width) fields of the per-step save row, each lane-aligned."""
+    fields = []
+    for i, p in enumerate(spec.p_sizes):
+        fields.append((f"p{i}", p))
+    A, D = spec.a_units, spec.d_units
+    fields += [("gates_att", 4 * A), ("c_att", A), ("h_att", A),
+               ("ctx", sum(spec.c_sizes)), ("proj", D),
+               ("gates1", 4 * D), ("c1", D), ("h1", D),
+               ("gates2", 4 * D), ("c2", D), ("h2", D)]
+    offsets = {}
+    off = 0
+    for name, w in fields:
+        offsets[name] = (off, w)
+        off += _pad128(w)
+    return offsets, off
+
+
+# --------------------------------------------------------------- mask stream
+
+def _seed_step(seed_ref, t):
+    # distinct, deterministic stream per step; fwd and bwd call this with
+    # identical arguments so the masks regenerate exactly
+    pltpu.prng_seed(seed_ref[0] + t * jnp.int32(-1640531527))
+
+
+def _unit_uniform(shape):
+    """uint32 bits -> [0, 1) floats."""
+    bits = pltpu.prng_random_bits(shape)
+    return bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+
+
+def _dropout_mask(shape, rate: float):
+    """flax nn.Dropout semantics: keep with prob 1-rate, scale kept by
+    1/(1-rate).  Returns the multiplicative mask."""
+    keep = (_unit_uniform(shape) >= jnp.float32(rate)).astype(jnp.float32)
+    return keep * jnp.float32(1.0 / (1.0 - rate))
+
+
+def _zoneout_keep(shape, factor: float):
+    """ops/rnn.py ZoneoutLSTMCell training semantics: keep NEW with prob
+    1-factor (keep==1 -> new value, keep==0 -> previous value)."""
+    return (_unit_uniform(shape) >= jnp.float32(factor)).astype(jnp.float32)
+
+
+def _step_masks(spec: TrainSpec, seed_ref, t):
+    """All of one step's masks, in a FIXED generation order."""
+    B, A, D = spec.batch, spec.a_units, spec.d_units
+    stochastic = (spec.drop_rate > 0 or spec.zc_att > 0 or spec.zo_att > 0
+                  or spec.zc_dec > 0 or spec.zo_dec > 0)
+    if spec.deterministic or not stochastic:
+        return None
+    _seed_step(seed_ref, t)
+    m = {}
+    for i, p in enumerate(spec.p_sizes):
+        m[f"p{i}"] = (_dropout_mask((B, p), spec.drop_rate)
+                      if spec.drop_rate > 0 else None)
+    m["zc_att"] = (_zoneout_keep((B, A), spec.zc_att)
+                   if spec.zc_att > 0 else None)
+    m["zo_att"] = (_zoneout_keep((B, A), spec.zo_att)
+                   if spec.zo_att > 0 else None)
+    for l in ("1", "2"):
+        m[f"zc{l}"] = (_zoneout_keep((B, D), spec.zc_dec)
+                       if spec.zc_dec > 0 else None)
+        m[f"zo{l}"] = (_zoneout_keep((B, D), spec.zo_dec)
+                       if spec.zo_dec > 0 else None)
+    return m
+
+
+def _apply_zoneout(new, prev, keep_mask, factor: float, deterministic: bool):
+    if factor <= 0.0:
+        return new
+    if deterministic:
+        return (1.0 - factor) * new + factor * prev
+    return keep_mask * new + (1.0 - keep_mask) * prev
+
+
+def _lstm_fwd(z, w_ref, b_ref):
+    """Gate pre-activations + raw cell/hidden (zoneout applied by caller)."""
+    gates = _mm(z, w_ref[...]) + b_ref[...].astype(jnp.float32)
+    return gates
+
+
+def _lstm_raw(gates, c_prev):
+    a = gates.shape[1] // 4
+    i, g = gates[:, :a], gates[:, a:2 * a]
+    f, o = gates[:, 2 * a:3 * a], gates[:, 3 * a:]
+    c_raw = c_prev * jax.nn.sigmoid(f + 1.0) \
+        + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_raw = jnp.tanh(c_raw) * jax.nn.sigmoid(o)
+    return c_raw, h_raw
+
+
+def _mm_tA(a: Array, b: Array) -> Array:
+    """a^T @ b: (B, M)x(B, N) -> (M, N) — weight-gradient accumulation."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _mm_tB(a: Array, w: Array) -> Array:
+    """a @ w^T: (B, N)x(M, N) -> (B, M) — input-gradient matmuls."""
+    return jax.lax.dot_general(
+        a, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# ============================================================= forward kernel
+
+def _fwd_kernel(spec: TrainSpec, layout, *refs):
+    offsets, w_save = layout
+    B, T, S = spec.batch, spec.t_mem, spec.num_steps
+    A, D = spec.a_units, spec.d_units
+    ns = spec.num_sources
+    sumC = sum(spec.c_sizes)
+    f32 = jnp.float32
+
+    it = iter(refs)
+    mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
+    seed_ref = next(it)
+    teacher_hbm = next(it)                       # (S*B, cf) in HBM
+    prenet = [(next(it), next(it)) for _ in spec.p_sizes]
+    att_lstm = (next(it), next(it))
+    query_all = next(it)
+    vs = [next(it) for _ in range(ns)]
+    outproj = (next(it), next(it))
+    lstm1 = (next(it), next(it))
+    lstm2 = (next(it), next(it))
+    y_out = next(it)                             # (S*B, D) VMEM output
+    save_hbm = next(it)                          # (S*B, w_save) HBM output
+    x_scr = next(it)                             # (B, cf) VMEM scratch
+    save_scr = next(it)                          # (B, w_save) VMEM scratch
+    sem_in = next(it)
+    sem_out = next(it)
+    assert next(it, None) is None
+
+    def put(name, value):
+        off, w = offsets[name]
+        save_scr[:, off:off + w] = value.astype(f32)
+
+    def body(t, carry):
+        c_att, h_att, c1, h1, c2, h2, prev_ctx = carry
+
+        # teacher input for this step: HBM -> VMEM
+        cp_in = pltpu.make_async_copy(
+            teacher_hbm.at[pl.ds(t * B, B), :], x_scr, sem_in)
+        cp_in.start()
+        masks = _step_masks(spec, seed_ref, t)
+        cp_in.wait()
+        x = x_scr[...].astype(f32)
+
+        # prenet stack (Dense -> ReLU -> dropout), acts saved pre-dropout
+        p = x
+        for i, (w, b) in enumerate(prenet):
+            a_act = jax.nn.relu(_mm(p, w[...]) + b[...].astype(f32))
+            put(f"p{i}", a_act)
+            if spec.drop_rate > 0 and not spec.deterministic:
+                p = a_act * masks[f"p{i}"]
+            else:
+                p = a_act
+
+        # attention LSTM over [prenet, prev_context]
+        z_att = jnp.concatenate([p, prev_ctx, h_att], axis=1)
+        gates_att = _lstm_fwd(z_att, att_lstm[0], att_lstm[1])
+        c_raw, h_raw = _lstm_raw(gates_att, c_att)
+        c_att_new = _apply_zoneout(c_raw, c_att,
+                                   None if masks is None else masks["zc_att"],
+                                   spec.zc_att, spec.deterministic)
+        h_att_new = _apply_zoneout(h_raw, h_att,
+                                   None if masks is None else masks["zo_att"],
+                                   spec.zo_att, spec.deterministic)
+        put("gates_att", gates_att)
+        put("c_att", c_att_new)
+        put("h_att", h_att_new)
+
+        # additive attention per source (batched indicator form, identical
+        # math to the inference kernel's B>1 path)
+        pq_all = _mm(h_att_new, query_all[...])
+        ctxs = []
+        u_off = 0
+        for (keys_ref, values_ref, mask_ref, ind_ref), v_ref, u in \
+                zip(mem, vs, spec.u_sizes):
+            ind = ind_ref[...].astype(f32)
+            pq = _mm(ind, pq_all[:, u_off:u_off + u])
+            u_off += u
+            e = jnp.tanh(keys_ref[...].astype(f32) + pq)
+            e_col = _mm(e, v_ref[...])
+            e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
+            # one GLOBAL max shift: per-block softmax is invariant to any
+            # constant shift, and additive energies are tanh-bounded
+            # (|e_col| <= ||v||_1), so exp never under/overflows
+            m_all = jnp.max(e_col, axis=0, keepdims=True)
+            ex = jnp.exp(e_col - m_all)
+            sums = _mm_tA(ind, ex)                   # (B, 1)
+            a_col = ex / _mm(ind, sums)
+            ctxs.append(_mm_tA(ind, a_col * values_ref[...].astype(f32)))
+        ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
+        put("ctx", ctx)
+
+        # projection + two residual LSTMs
+        proj = _mm(jnp.concatenate([h_att_new, ctx], axis=1),
+                   outproj[0][...]) + outproj[1][...].astype(f32)
+        put("proj", proj)
+        gates1 = _lstm_fwd(jnp.concatenate([proj, h1], axis=1),
+                           lstm1[0], lstm1[1])
+        c1_raw, h1_raw = _lstm_raw(gates1, c1)
+        c1_new = _apply_zoneout(c1_raw, c1,
+                                None if masks is None else masks["zc1"],
+                                spec.zc_dec, spec.deterministic)
+        h1_new = _apply_zoneout(h1_raw, h1,
+                                None if masks is None else masks["zo1"],
+                                spec.zo_dec, spec.deterministic)
+        put("gates1", gates1)
+        put("c1", c1_new)
+        put("h1", h1_new)
+        o1 = proj + h1_new
+        gates2 = _lstm_fwd(jnp.concatenate([o1, h2], axis=1),
+                           lstm2[0], lstm2[1])
+        c2_raw, h2_raw = _lstm_raw(gates2, c2)
+        c2_new = _apply_zoneout(c2_raw, c2,
+                                None if masks is None else masks["zc2"],
+                                spec.zc_dec, spec.deterministic)
+        h2_new = _apply_zoneout(h2_raw, h2,
+                                None if masks is None else masks["zo2"],
+                                spec.zo_dec, spec.deterministic)
+        put("gates2", gates2)
+        put("c2", c2_new)
+        put("h2", h2_new)
+        y = o1 + h2_new
+
+        y_out[pl.ds(t * B, B), :] = y.astype(y_out.dtype)
+        cp_out = pltpu.make_async_copy(
+            save_scr, save_hbm.at[pl.ds(t * B, B), :], sem_out)
+        cp_out.start()
+        cp_out.wait()
+        return (c_att_new, h_att_new, c1_new, h1_new, c2_new, h2_new, ctx)
+
+    zeros = lambda n: jnp.zeros((B, n), f32)
+    carry0 = (zeros(A), zeros(A), zeros(D), zeros(D), zeros(D), zeros(D),
+              zeros(sumC))
+    jax.lax.fori_loop(0, S, body, carry0)
+
+
+# ============================================================ backward kernel
+
+def _lstm_bwd(gates, c_prev, d_h_total, d_c_total, m_zc, m_zo,
+              zc: float, zo: float, deterministic: bool):
+    """Exact VJP of one ZoneoutLSTMCell step (ops/rnn.py:49-76).
+
+    Returns (d_gates_pre, d_c_prev, d_h_prev) — d_h_prev only from the
+    zoneout passthrough; the contribution through z=[x, h_prev] is added by
+    the caller after the d_gates matmul."""
+    a = gates.shape[1] // 4
+    i, g = gates[:, :a], gates[:, a:2 * a]
+    f, o = gates[:, 2 * a:3 * a], gates[:, 3 * a:]
+    si, tg = jax.nn.sigmoid(i), jnp.tanh(g)
+    sf, so = jax.nn.sigmoid(f + 1.0), jax.nn.sigmoid(o)
+    c_raw = c_prev * sf + si * tg
+    tc = jnp.tanh(c_raw)
+
+    if zo > 0.0:
+        if deterministic:
+            d_h_raw = d_h_total * (1.0 - zo)
+            d_h_prev = d_h_total * zo
+        else:
+            d_h_raw = d_h_total * m_zo
+            d_h_prev = d_h_total * (1.0 - m_zo)
+    else:
+        d_h_raw, d_h_prev = d_h_total, jnp.zeros_like(d_h_total)
+
+    d_c_from_h = d_h_raw * so * (1.0 - tc * tc)
+    d_o_pre = d_h_raw * tc * so * (1.0 - so)
+
+    if zc > 0.0:
+        if deterministic:
+            d_c_raw = d_c_total * (1.0 - zc) + d_c_from_h
+            d_c_prev = d_c_total * zc
+        else:
+            d_c_raw = d_c_total * m_zc + d_c_from_h
+            d_c_prev = d_c_total * (1.0 - m_zc)
+    else:
+        d_c_raw = d_c_total + d_c_from_h
+        d_c_prev = jnp.zeros_like(d_c_total)
+
+    d_c_prev = d_c_prev + d_c_raw * sf
+    d_f_pre = d_c_raw * c_prev * sf * (1.0 - sf)
+    d_i_pre = d_c_raw * tg * si * (1.0 - si)
+    d_g_pre = d_c_raw * si * (1.0 - tg * tg)
+    d_gates = jnp.concatenate([d_i_pre, d_g_pre, d_f_pre, d_o_pre], axis=1)
+    return d_gates, d_c_prev, d_h_prev
+
+
+def _bwd_kernel(spec: TrainSpec, layout, *refs):
+    offsets, w_save = layout
+    B, T, S = spec.batch, spec.t_mem, spec.num_steps
+    A, D = spec.a_units, spec.d_units
+    ns = spec.num_sources
+    sumC = sum(spec.c_sizes)
+    P_last = spec.p_sizes[-1]
+    n_pre = len(spec.p_sizes)
+    f32 = jnp.float32
+    det = spec.deterministic
+
+    it = iter(refs)
+    mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
+    seed_ref = next(it)
+    teacher_hbm = next(it)
+    prenet = [(next(it), next(it)) for _ in spec.p_sizes]
+    att_lstm = (next(it), next(it))
+    query_all = next(it)
+    vs = [next(it) for _ in range(ns)]
+    outproj = (next(it), next(it))
+    lstm1 = (next(it), next(it))
+    lstm2 = (next(it), next(it))
+    g_y = next(it)                                # (S*B, D) VMEM input
+    save_hbm = next(it)                           # (S*B, w_save) HBM input
+    # gradient outputs (VMEM accumulators)
+    d_prenet = [(next(it), next(it)) for _ in spec.p_sizes]
+    d_att = (next(it), next(it))
+    d_query_all = next(it)
+    d_vs = [next(it) for _ in range(ns)]
+    d_outproj = (next(it), next(it))
+    d_lstm1 = (next(it), next(it))
+    d_lstm2 = (next(it), next(it))
+    d_keys_out = [next(it) for _ in range(ns)]    # (B*T, U_i)
+    d_values_out = [next(it) for _ in range(ns)]  # (B*T, C_i)
+    x_scr = next(it)
+    row_t = next(it)                              # (B, w_save) VMEM scratch
+    row_p = next(it)                              # (B, w_save) step t-1
+    sem_x = next(it)
+    sem_t = next(it)
+    sem_p = next(it)
+    assert next(it, None) is None
+
+    for w_ref, b_ref in (*d_prenet, d_att, d_outproj, d_lstm1, d_lstm2):
+        w_ref[...] = jnp.zeros_like(w_ref)
+        b_ref[...] = jnp.zeros_like(b_ref)
+    d_query_all[...] = jnp.zeros_like(d_query_all)
+    for r in (*d_vs, *d_keys_out, *d_values_out):
+        r[...] = jnp.zeros_like(r)
+
+    def get(row, name):
+        off, w = offsets[name]
+        return row[:, off:off + w]
+
+    def body(k, carry):
+        t = S - 1 - k
+        (d_c_att, d_h_att_c, d_c1, d_h1_c, d_c2, d_h2_c, d_ctx_c) = carry
+
+        cp_x = pltpu.make_async_copy(
+            teacher_hbm.at[pl.ds(t * B, B), :], x_scr, sem_x)
+        cp_x.start()
+        cp_t = pltpu.make_async_copy(
+            save_hbm.at[pl.ds(t * B, B), :], row_t, sem_t)
+        cp_t.start()
+        t_prev = jnp.maximum(t - 1, 0)
+        cp_p = pltpu.make_async_copy(
+            save_hbm.at[pl.ds(t_prev * B, B), :], row_p, sem_p)
+        cp_p.start()
+        masks = _step_masks(spec, seed_ref, t)
+        cp_x.wait()
+        cp_t.wait()
+        cp_p.wait()
+
+        first = (t == 0)
+        rt = row_t[...].astype(f32)
+        rp = jnp.where(first, jnp.zeros_like(row_t[...]),
+                       row_p[...]).astype(f32)
+        x_t = x_scr[...].astype(f32)
+        g = g_y[pl.ds(t * B, B), :].astype(f32)
+
+        h_att_t = get(rt, "h_att")
+        ctx_t = get(rt, "ctx")
+        proj_t = get(rt, "proj")
+        h1_t = get(rt, "h1")
+        gates_att = get(rt, "gates_att")
+        gates1 = get(rt, "gates1")
+        gates2 = get(rt, "gates2")
+        c_att_prev = get(rp, "c_att")
+        h_att_prev = get(rp, "h_att")
+        c1_prev, h1_prev = get(rp, "c1"), get(rp, "h1")
+        c2_prev, h2_prev = get(rp, "c2"), get(rp, "h2")
+        ctx_prev = get(rp, "ctx")
+
+        # ---- y = o1 + h2 ; lstm2 over z2 = [o1, h2_prev]
+        o1_t = proj_t + h1_t
+        d_o1 = g
+        d_h2_total = g + d_h2_c
+        d_gates2, d_c2_prev, d_h2_prev = _lstm_bwd(
+            gates2, c2_prev, d_h2_total, d_c2,
+            None if det or spec.zc_dec == 0 else masks["zc2"],
+            None if det or spec.zo_dec == 0 else masks["zo2"],
+            spec.zc_dec, spec.zo_dec, det)
+        z2 = jnp.concatenate([o1_t, h2_prev], axis=1)
+        d_lstm2[0][...] += _mm_tA(z2, d_gates2).astype(d_lstm2[0].dtype)
+        d_lstm2[1][...] += jnp.sum(d_gates2, axis=0,
+                                   keepdims=True).astype(d_lstm2[1].dtype)
+        d_z2 = _mm_tB(d_gates2, lstm2[0][...].astype(f32))
+        d_o1 = d_o1 + d_z2[:, :D]
+        new_d_h2 = d_h2_prev + d_z2[:, D:]
+        new_d_c2 = d_c2_prev
+
+        # ---- o1 = proj + h1 ; lstm1 over z1 = [proj, h1_prev]
+        d_proj = d_o1
+        d_h1_total = d_o1 + d_h1_c
+        d_gates1, d_c1_prev, d_h1_prev = _lstm_bwd(
+            gates1, c1_prev, d_h1_total, d_c1,
+            None if det or spec.zc_dec == 0 else masks["zc1"],
+            None if det or spec.zo_dec == 0 else masks["zo1"],
+            spec.zc_dec, spec.zo_dec, det)
+        z1 = jnp.concatenate([proj_t, h1_prev], axis=1)
+        d_lstm1[0][...] += _mm_tA(z1, d_gates1).astype(d_lstm1[0].dtype)
+        d_lstm1[1][...] += jnp.sum(d_gates1, axis=0,
+                                   keepdims=True).astype(d_lstm1[1].dtype)
+        d_z1 = _mm_tB(d_gates1, lstm1[0][...].astype(f32))
+        d_proj = d_proj + d_z1[:, :D]
+        new_d_h1 = d_h1_prev + d_z1[:, D:]
+        new_d_c1 = d_c1_prev
+
+        # ---- proj = [h_att, ctx] @ Wop + bop
+        zop = jnp.concatenate([h_att_t, ctx_t], axis=1)
+        d_outproj[0][...] += _mm_tA(zop, d_proj).astype(d_outproj[0].dtype)
+        d_outproj[1][...] += jnp.sum(d_proj, axis=0,
+                                     keepdims=True).astype(d_outproj[1].dtype)
+        d_zop = _mm_tB(d_proj, outproj[0][...].astype(f32))
+        d_h_att = d_zop[:, :A]
+        d_ctx_total = d_zop[:, A:] + d_ctx_c
+
+        # ---- additive attention backward (recompute e and a per source)
+        pq_all = _mm(h_att_t, query_all[...])
+        d_pq_parts = []
+        u_off = 0
+        c_off = 0
+        for si_, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref) in \
+                enumerate(zip(mem, vs)):
+            u = spec.u_sizes[si_]
+            c = spec.c_sizes[si_]
+            ind = ind_ref[...].astype(f32)
+            values = values_ref[...].astype(f32)
+            pq = _mm(ind, pq_all[:, u_off:u_off + u])
+            e = jnp.tanh(keys_ref[...].astype(f32) + pq)
+            e_col = _mm(e, v_ref[...])
+            e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
+            m_all = jnp.max(e_col, axis=0, keepdims=True)
+            ex = jnp.exp(e_col - m_all)
+            sums = _mm_tA(ind, ex)
+            a_col = ex / _mm(ind, sums)
+
+            d_ctx_b = d_ctx_total[:, c_off:c_off + c]
+            dav = _mm(ind, d_ctx_b)                      # (B*T, C)
+            d_values_out[si_][...] += (a_col * dav).astype(
+                d_values_out[si_].dtype)
+            d_a = jnp.sum(dav * values, axis=1, keepdims=True)  # (B*T, 1)
+            s_b = _mm_tA(ind, a_col * d_a)               # (B, 1)
+            d_e_col = a_col * (d_a - _mm(ind, s_b))
+            # outer product (B*T,1)x(U,1) -> (B*T,U): contract singleton dims
+            d_e = _mm_tB(d_e_col, v_ref[...].astype(f32))
+            d_pre = d_e * (1.0 - e * e)
+            d_keys_out[si_][...] += d_pre.astype(d_keys_out[si_].dtype)
+            d_vs[si_][...] += _mm_tA(e, d_e_col).astype(d_vs[si_].dtype)
+            d_pq_parts.append(_mm_tA(ind, d_pre))        # (B, U)
+            u_off += u
+            c_off += c
+        d_pq_all = (jnp.concatenate(d_pq_parts, axis=1) if ns > 1
+                    else d_pq_parts[0])
+        d_query_all[...] += _mm_tA(h_att_t, d_pq_all).astype(
+            d_query_all.dtype)
+        d_h_att = d_h_att + _mm_tB(d_pq_all, query_all[...].astype(f32))
+
+        # ---- attention LSTM over z_att = [p_drop, ctx_prev, h_att_prev]
+        d_h_att_total = d_h_att + d_h_att_c
+        d_gates_att, d_c_att_prev, d_h_att_prev = _lstm_bwd(
+            gates_att, c_att_prev, d_h_att_total, d_c_att,
+            None if det or spec.zc_att == 0 else masks["zc_att"],
+            None if det or spec.zo_att == 0 else masks["zo_att"],
+            spec.zc_att, spec.zo_att, det)
+        # reconstruct the dropped prenet output (input of the att LSTM)
+        a_last = get(rt, f"p{n_pre - 1}")
+        if spec.drop_rate > 0 and not det:
+            p_drop = a_last * masks[f"p{n_pre - 1}"]
+        else:
+            p_drop = a_last
+        z_att = jnp.concatenate([p_drop, ctx_prev, h_att_prev], axis=1)
+        d_att[0][...] += _mm_tA(z_att, d_gates_att).astype(d_att[0].dtype)
+        d_att[1][...] += jnp.sum(d_gates_att, axis=0,
+                                 keepdims=True).astype(d_att[1].dtype)
+        d_z_att = _mm_tB(d_gates_att, att_lstm[0][...].astype(f32))
+        d_p = d_z_att[:, :P_last]
+        new_d_ctx = d_z_att[:, P_last:P_last + sumC]
+        new_d_h_att = d_h_att_prev + d_z_att[:, P_last + sumC:]
+        new_d_c_att = d_c_att_prev
+
+        # ---- prenet backward (last layer -> first)
+        for li in range(n_pre - 1, -1, -1):
+            a_act = get(rt, f"p{li}")
+            if spec.drop_rate > 0 and not det:
+                d_a = d_p * masks[f"p{li}"]
+            else:
+                d_a = d_p
+            d_pre_l = d_a * (a_act > 0).astype(f32)
+            if li > 0:
+                a_in = get(rt, f"p{li - 1}")
+                if spec.drop_rate > 0 and not det:
+                    inp = a_in * masks[f"p{li - 1}"]
+                else:
+                    inp = a_in
+            else:
+                inp = x_t
+            d_prenet[li][0][...] += _mm_tA(inp, d_pre_l).astype(
+                d_prenet[li][0].dtype)
+            d_prenet[li][1][...] += jnp.sum(d_pre_l, axis=0,
+                                            keepdims=True).astype(
+                d_prenet[li][1].dtype)
+            if li > 0:
+                d_p = _mm_tB(d_pre_l, prenet[li][0][...].astype(f32))
+
+        return (new_d_c_att, new_d_h_att, new_d_c1, new_d_h1,
+                new_d_c2, new_d_h2, new_d_ctx)
+
+    zeros = lambda n: jnp.zeros((B, n), f32)
+    carry0 = (zeros(A), zeros(A), zeros(D), zeros(D), zeros(D), zeros(D),
+              zeros(sumC))
+    jax.lax.fori_loop(0, S, body, carry0)
+
+
+# ========================================================= pallas_call wiring
+
+def _weight_ins(params: FusedTrainParams):
+    ins = []
+    for w, b in params.prenet:
+        ins += [w, b]
+    ins += [params.att_lstm[0], params.att_lstm[1]]
+    ins += [jnp.concatenate([wq for wq, _ in params.query], axis=1)]
+    ins += [v for _, v in params.query]
+    ins += [params.outproj[0], params.outproj[1],
+            params.lstm1[0], params.lstm1[1],
+            params.lstm2[0], params.lstm2[1]]
+    return ins
+
+
+def _mem_ins(spec: TrainSpec, keys, values, masks):
+    B, T = spec.batch, spec.t_mem
+    ins = []
+    ind = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
+                              np.ones((T, 1), np.float32)))
+    for k, v, m in zip(keys, values, masks):
+        ins += [k, v, m, ind]
+    return ins
+
+
+def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
+              seed_i):
+    layout = _save_layout(spec)
+    _, w_save = layout
+    B, S, D = spec.batch, spec.num_steps, spec.d_units
+    ins = _mem_ins(spec, keys, values, masks)
+    ins += [seed_i.reshape(1), teacher_flat]
+    ins += _weight_ins(params)
+    n_mem = 4 * spec.num_sources
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_mem
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(ins) - n_mem
+                                                           - 2)
+    out_shapes = (jax.ShapeDtypeStruct((S * B, D), jnp.float32),
+                  jax.ShapeDtypeStruct((S * B, w_save), jnp.float32))
+    out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
+    scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
+               pltpu.VMEM((B, w_save), jnp.float32),
+               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+    y_flat, save = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec, layout),
+        in_specs=in_specs, out_specs=out_specs, out_shape=out_shapes,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+        interpret=spec.interpret,
+    )(*ins)
+    return y_flat, save
+
+
+def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
+              seed_i, g_flat, save):
+    layout = _save_layout(spec)
+    _, w_save = layout
+    B, S = spec.batch, spec.num_steps
+    ins = _mem_ins(spec, keys, values, masks)
+    ins += [seed_i.reshape(1), teacher_flat]
+    ins += _weight_ins(params)
+    ins += [g_flat, save]
+    n_mem = 4 * spec.num_sources
+    n_w = len(_weight_ins(params))
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_mem
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
+                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+
+    # gradient outputs mirror the weight inputs, then d_keys/d_values
+    w_ins = _weight_ins(params)
+    out_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in w_ins]
+    out_shapes += [jax.ShapeDtypeStruct(k.shape, jnp.float32) for k in keys]
+    out_shapes += [jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in values]
+    scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
+               pltpu.VMEM((B, w_save), jnp.float32),
+               pltpu.VMEM((B, w_save), jnp.float32),
+               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
+               pltpu.SemaphoreType.DMA(())]
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec, layout),
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shapes),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 << 20),
+        interpret=spec.interpret,
+    )(*ins)
+
+    it = iter(outs)
+    d_prenet = tuple((next(it), next(it)) for _ in spec.p_sizes)
+    d_att = (next(it), next(it))
+    d_query_all = next(it)
+    d_vs = [next(it) for _ in range(spec.num_sources)]
+    d_outproj = (next(it), next(it))
+    d_lstm1 = (next(it), next(it))
+    d_lstm2 = (next(it), next(it))
+    d_keys = tuple(next(it) for _ in range(spec.num_sources))
+    d_values = tuple(next(it) for _ in range(spec.num_sources))
+    assert next(it, None) is None
+
+    # split the fused query-projection gradient back per source
+    d_query = []
+    u_off = 0
+    for i, u in enumerate(spec.u_sizes):
+        d_query.append((d_query_all[:, u_off:u_off + u], d_vs[i]))
+        u_off += u
+    d_params = FusedTrainParams(prenet=d_prenet, att_lstm=d_att,
+                                query=tuple(d_query), outproj=d_outproj,
+                                lstm1=d_lstm1, lstm2=d_lstm2)
+    return d_params, d_keys, d_values
+
+
+# =============================================================== custom VJP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_scan_core(spec: TrainSpec, params, keys, values, masks,
+                     teacher_flat, seed_f):
+    y, _ = _fwd_call(spec, params, keys, values, masks, teacher_flat,
+                     seed_f.astype(jnp.int32))
+    return y
+
+
+def _core_fwd(spec, params, keys, values, masks, teacher_flat, seed_f):
+    y, save = _fwd_call(spec, params, keys, values, masks, teacher_flat,
+                        seed_f.astype(jnp.int32))
+    return y, (params, keys, values, masks, teacher_flat, seed_f, save)
+
+
+def _core_bwd(spec, res, g_flat):
+    params, keys, values, masks, teacher_flat, seed_f, save = res
+    d_params, d_keys, d_values = _bwd_call(
+        spec, params, keys, values, masks, teacher_flat,
+        seed_f.astype(jnp.int32), g_flat.astype(jnp.float32), save)
+    d_masks = tuple(jnp.zeros_like(m) for m in masks)
+    return (d_params, d_keys, d_values, d_masks,
+            jnp.zeros_like(teacher_flat), jnp.zeros_like(seed_f))
+
+
+_fused_scan_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ============================================================== public entry
+
+def _pad_cols(x, to: int):
+    return x if x.shape[-1] == to else jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(0, to - x.shape[-1])])
+
+
+def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
+                       teacher_xs, seed, *, drop_rate: float,
+                       zc_att: float, zo_att: float,
+                       zc_dec: float, zo_dec: float,
+                       deterministic: bool,
+                       interpret: bool = None) -> Array:
+    """Run the teacher-forced RNN trunk as fused fwd/bwd kernels.
+
+    Args: keys/values (B, T_mem, U/C) per source, masks (B, T_mem) float,
+    teacher_xs (B, T_steps, cf), seed int32 scalar.  Returns the trunk
+    output o2 as (B, T_steps, D).  Differentiable w.r.t. params, keys and
+    values (the causal hops + output heads downstream stay in XLA).
+
+    Lane alignment is handled here by zero-padding the feedback width and
+    each source's U/C to multiples of 128 (zero weight rows/columns make
+    the padding exact, and gradients flow back through the pads).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T_steps, cf = teacher_xs.shape
+    T_mem = int(keys[0].shape[1])
+    u_sizes = tuple(int(k.shape[2]) for k in keys)
+    c_sizes = tuple(int(v.shape[2]) for v in values)
+    p_sizes = tuple(int(b.shape[1]) for _, b in params.prenet)
+    A = int(params.att_lstm[1].shape[1]) // 4
+    D = int(params.lstm1[1].shape[1]) // 4
+
+    cfp = _pad128(cf)
+    up = tuple(_pad128(u) for u in u_sizes)
+    cp = tuple(_pad128(c) for c in c_sizes)
+
+    # pad widths with zero weight rows/columns — exact, differentiable
+    prenet = list(params.prenet)
+    w0, b0 = prenet[0]
+    prenet[0] = (jnp.pad(w0, [(0, cfp - cf), (0, 0)]), b0)
+    query = tuple(
+        (jnp.pad(wq, [(0, 0), (0, u2 - u)]),
+         jnp.pad(vq, [(0, u2 - u), (0, 0)]))
+        for (wq, vq), u, u2 in zip(params.query, u_sizes, up))
+    # outproj rows: [A | C_0 | C_1 | ...] -> [A | Cp_0 | Cp_1 | ...]
+    wop = params.outproj[0]
+    blocks = [wop[:A]]
+    r_off = A
+    for c, c2 in zip(c_sizes, cp):
+        blocks.append(jnp.pad(wop[r_off:r_off + c], [(0, c2 - c), (0, 0)]))
+        r_off += c
+    wop_p = jnp.concatenate(blocks, axis=0)
+    # att_lstm rows: [P_last | sumC | A] -> [P_last | sumCp | A]
+    watt = params.att_lstm[0]
+    p_last = p_sizes[-1]
+    blocks = [watt[:p_last]]
+    r_off = p_last
+    for c, c2 in zip(c_sizes, cp):
+        blocks.append(jnp.pad(watt[r_off:r_off + c], [(0, c2 - c), (0, 0)]))
+        r_off += c
+    blocks.append(watt[r_off:])
+    watt_p = jnp.concatenate(blocks, axis=0)
+
+    params_p = FusedTrainParams(
+        prenet=tuple(prenet), att_lstm=(watt_p, params.att_lstm[1]),
+        query=query, outproj=(wop_p, params.outproj[1]),
+        lstm1=params.lstm1, lstm2=params.lstm2)
+
+    keys_p = tuple(_pad_cols(k, u2).reshape(B * T_mem, u2)
+                   for k, u2 in zip(keys, up))
+    values_p = tuple(_pad_cols(v, c2).reshape(B * T_mem, c2)
+                     for v, c2 in zip(values, cp))
+    masks_p = tuple(jnp.asarray(m, jnp.float32).reshape(B * T_mem, 1)
+                    for m in masks)
+    teacher_flat = _pad_cols(
+        jnp.moveaxis(teacher_xs, 0, 1).astype(jnp.float32), cfp
+    ).reshape(T_steps * B, cfp)
+
+    spec = TrainSpec(batch=B, num_steps=T_steps, cf=cfp,
+                     num_sources=len(keys), t_mem=T_mem,
+                     u_sizes=up, c_sizes=cp, p_sizes=p_sizes,
+                     a_units=A, d_units=D, drop_rate=float(drop_rate),
+                     zc_att=float(zc_att), zo_att=float(zo_att),
+                     zc_dec=float(zc_dec), zo_dec=float(zo_dec),
+                     deterministic=bool(deterministic),
+                     interpret=bool(interpret))
+    seed_f = (jnp.asarray(seed, jnp.int32) % jnp.int32(1 << 23)
+              ).astype(jnp.float32)
+    y_flat = _fused_scan_core(spec, params_p, keys_p, values_p, masks_p,
+                              teacher_flat, seed_f)
+    return jnp.moveaxis(y_flat.reshape(T_steps, B, D), 0, 1)
