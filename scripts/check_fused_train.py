@@ -184,7 +184,12 @@ def timing(B=32, T_steps=256, T_mem=64):
 
 
 if __name__ == "__main__":
+    # parity runs at highest matmul precision: XLA's DEFAULT f32 matmuls
+    # are bf16 multi-pass on TPU and drift ~5e-3 over the recurrence, which
+    # would mask kernel bugs; the kernel itself is precision-stable
+    jax.config.update("jax_default_matmul_precision", "highest")
     parity()
     stochastic()
+    jax.config.update("jax_default_matmul_precision", "default")
     timing()
     print("OK")

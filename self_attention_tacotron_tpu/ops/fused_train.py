@@ -217,17 +217,30 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     y_out = next(it)                             # (S*B, D) VMEM output
     save_hbm = next(it)                          # (S*B, w_save) HBM output
     x_scr = next(it)                             # (B, cf) VMEM scratch
-    save_scr = next(it)                          # (B, w_save) VMEM scratch
+    save_scr = next(it)                          # (2*B, w_save) VMEM scratch,
+    #                                              double-buffered save slots
     sem_in = next(it)
-    sem_out = next(it)
+    sem_out = next(it)                           # DMA sems, one per slot
     assert next(it, None) is None
 
-    def put(name, value):
-        off, w = offsets[name]
-        save_scr[:, off:off + w] = value.astype(f32)
+    def _save_dma(t, slot_rows):
+        return pltpu.make_async_copy(
+            save_scr.at[pl.ds(slot_rows, B), :],
+            save_hbm.at[pl.ds(t * B, B), :], sem_out.at[t % 2])
 
     def body(t, carry):
         c_att, h_att, c1, h1, c2, h2, prev_ctx = carry
+        slot_rows = (t % 2) * B
+
+        # the DMA that used this save slot (step t-2) must have drained
+        # before we overwrite it; its copy runs overlapped with step t-1
+        @pl.when(t >= 2)
+        def _():
+            _save_dma(t - 2, slot_rows).wait()
+
+        def put(name, value):
+            off, w = offsets[name]
+            save_scr[pl.ds(slot_rows, B), off:off + w] = value.astype(f32)
 
         # teacher input for this step: HBM -> VMEM
         cp_in = pltpu.make_async_copy(
@@ -317,16 +330,17 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
         y = o1 + h2_new
 
         y_out[pl.ds(t * B, B), :] = y.astype(y_out.dtype)
-        cp_out = pltpu.make_async_copy(
-            save_scr, save_hbm.at[pl.ds(t * B, B), :], sem_out)
-        cp_out.start()
-        cp_out.wait()
+        # fire-and-continue: the copy overlaps the next step's compute
+        _save_dma(t, slot_rows).start()
         return (c_att_new, h_att_new, c1_new, h1_new, c2_new, h2_new, ctx)
 
     zeros = lambda n: jnp.zeros((B, n), f32)
     carry0 = (zeros(A), zeros(A), zeros(D), zeros(D), zeros(D), zeros(D),
               zeros(sumC))
     jax.lax.fori_loop(0, S, body, carry0)
+    # drain the last (up to two) in-flight save copies before kernel exit
+    for t in range(max(S - 2, 0), S):
+        _save_dma(t, (t % 2) * B).wait()
 
 
 # ============================================================ backward kernel
@@ -413,12 +427,18 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     d_keys_out = [next(it) for _ in range(ns)]    # (B*T, U_i)
     d_values_out = [next(it) for _ in range(ns)]  # (B*T, C_i)
     x_scr = next(it)
-    row_t = next(it)                              # (B, w_save) VMEM scratch
-    row_p = next(it)                              # (B, w_save) step t-1
+    rows3 = next(it)                              # (3*B, w_save) VMEM: three
+    #       rotating save-row slots — each saved row is consumed twice (as
+    #       step t, then as step t+1's predecessor), so steady state needs
+    #       ONE new DMA per step, prefetched a full step ahead
     sem_x = next(it)
-    sem_t = next(it)
-    sem_p = next(it)
+    sem_rows = next(it)                           # DMA sems, one per slot
     assert next(it, None) is None
+
+    def _row_dma(row_idx, slot):
+        return pltpu.make_async_copy(
+            save_hbm.at[pl.ds(row_idx * B, B), :],
+            rows3.at[pl.ds(slot * B, B), :], sem_rows.at[slot])
 
     for w_ref, b_ref in (*d_prenet, d_att, d_outproj, d_lstm1, d_lstm2):
         w_ref[...] = jnp.zeros_like(w_ref)
@@ -431,6 +451,13 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         off, w = offsets[name]
         return row[:, off:off + w]
 
+    # prologue: fetch the last step's row (and its predecessor) so the
+    # steady-state loop only prefetches one row per iteration
+    _row_dma(S - 1, 0).start()
+    if S >= 2:
+        _row_dma(S - 2, 1).start()
+    _row_dma(S - 1, 0).wait()
+
     def body(k, carry):
         t = S - 1 - k
         (d_c_att, d_h_att_c, d_c1, d_h1_c, d_c2, d_h2_c, d_ctx_c) = carry
@@ -438,22 +465,23 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         cp_x = pltpu.make_async_copy(
             teacher_hbm.at[pl.ds(t * B, B), :], x_scr, sem_x)
         cp_x.start()
-        cp_t = pltpu.make_async_copy(
-            save_hbm.at[pl.ds(t * B, B), :], row_t, sem_t)
-        cp_t.start()
-        t_prev = jnp.maximum(t - 1, 0)
-        cp_p = pltpu.make_async_copy(
-            save_hbm.at[pl.ds(t_prev * B, B), :], row_p, sem_p)
-        cp_p.start()
+
+        # prefetch step t-2's row into the slot step t+1 vacated; it is
+        # consumed one full iteration later (as step t-1's predecessor)
+        @pl.when(t >= 2)
+        def _():
+            _row_dma(t - 2, (k + 2) % 3).start()
         masks = _step_masks(spec, seed_ref, t)
+        # row t-1 (started one iteration ago, or in the prologue)
+        @pl.when(t >= 1)
+        def _():
+            _row_dma(t - 1, (k + 1) % 3).wait()
         cp_x.wait()
-        cp_t.wait()
-        cp_p.wait()
 
         first = (t == 0)
-        rt = row_t[...].astype(f32)
-        rp = jnp.where(first, jnp.zeros_like(row_t[...]),
-                       row_p[...]).astype(f32)
+        rt = rows3[pl.ds((k % 3) * B, B), :].astype(f32)
+        rp_raw = rows3[pl.ds(((k + 1) % 3) * B, B), :]
+        rp = jnp.where(first, jnp.zeros_like(rp_raw), rp_raw).astype(f32)
         x_t = x_scr[...].astype(f32)
         g = g_y[pl.ds(t * B, B), :].astype(f32)
 
@@ -656,8 +684,8 @@ def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
     scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
-               pltpu.VMEM((B, w_save), jnp.float32),
-               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(())]
+               pltpu.VMEM((2 * B, w_save), jnp.float32),
+               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA((2,))]
     y_flat, save = pl.pallas_call(
         functools.partial(_fwd_kernel, spec, layout),
         in_specs=in_specs, out_specs=out_specs, out_shape=out_shapes,
@@ -694,10 +722,9 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     out_shapes += [jax.ShapeDtypeStruct(k.shape, jnp.float32) for k in keys]
     out_shapes += [jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in values]
     scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
-               pltpu.VMEM((B, w_save), jnp.float32),
-               pltpu.VMEM((B, w_save), jnp.float32),
-               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA(()),
-               pltpu.SemaphoreType.DMA(())]
+               pltpu.VMEM((3 * B, w_save), jnp.float32),
+               pltpu.SemaphoreType.DMA(()),
+               pltpu.SemaphoreType.DMA((3,))]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spec, layout),
         in_specs=in_specs,
