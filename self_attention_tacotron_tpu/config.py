@@ -246,6 +246,8 @@ class HParams:        # attribute of flax modules / jit closures)
     decoder_fused_train: bool = False  # fused Pallas teacher-forced training
     #                            scan (ops/fused_train.py): trunk weights
     #                            VMEM-resident across all steps, fwd + bwd
+    decoder_fused_train_dtype: str = "float32"  # float32 | bfloat16 storage
+    #                            inside the fused training scan
     decoder_scan_unroll: int = 4  # lax.scan unroll of the decode loops
     seed: int = 12345
     # multi-host mode glues per-host batch shards into one global array, so

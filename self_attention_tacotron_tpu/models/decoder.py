@@ -129,6 +129,9 @@ class TacotronDecoder(nn.Module):
     #                                  scan, fwd + custom-VJP bwd with
     #                                  VMEM-resident trunk weights
     #                                  (ops/fused_train.py)
+    fused_train_dtype: str = "float32"  # float32 | bfloat16 in-kernel
+    #                                  weight/matmul storage for the
+    #                                  fused training scan
     fused_dtype: str = "float32"     # float32 | bfloat16 in-kernel storage
     scan_unroll: int = 4             # lax.scan unroll for the decode loops
     #                                  (~10% train-step win on v5e)
@@ -505,7 +508,8 @@ class TacotronDecoder(nn.Module):
             seed, drop_rate=self.drop_rate,
             zc_att=self.zoneout_factor_cell,
             zo_att=self.zoneout_factor_output,
-            zc_dec=zc_dec, zo_dec=zo_dec, deterministic=False)
+            zc_dec=zc_dec, zo_dec=zo_dec, deterministic=False,
+            compute_dtype=self.fused_train_dtype)
         T_steps = teacher_xs.shape[1]
         aligns = tuple(jnp.zeros((B, T_steps, pk.values.shape[1]), self.dtype)
                        for pk in packs)

@@ -251,6 +251,7 @@ class TacotronModel(nn.Module):
             fused_inference=hp.decoder_fused_inference,
             fused_dtype=hp.decoder_fused_dtype,
             fused_train=hp.decoder_fused_train,
+            fused_train_dtype=hp.decoder_fused_train_dtype,
             scan_unroll=hp.decoder_scan_unroll,
             dtype=dtype, **cfg)
 

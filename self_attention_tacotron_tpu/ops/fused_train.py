@@ -79,6 +79,7 @@ class TrainSpec(NamedTuple):
     zc_dec: float
     zo_dec: float
     deterministic: bool           # True: no dropout, expectation zoneout
+    compute_dtype: str            # float32 | bfloat16 weight/matmul storage
     interpret: bool
 
 
@@ -187,9 +188,10 @@ def _mm_tA(a: Array, b: Array) -> Array:
 
 
 def _mm_tB(a: Array, w: Array) -> Array:
-    """a @ w^T: (B, N)x(M, N) -> (B, M) — input-gradient matmuls."""
+    """a @ w^T: (B, N)x(M, N) -> (B, M) — input-gradient matmuls
+    (f32 accumulation; ``a`` is cast to ``w``'s storage dtype)."""
     return jax.lax.dot_general(
-        a, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        a.astype(w.dtype), w, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
 
@@ -394,6 +396,7 @@ def _lstm_bwd(gates, c_prev, d_h_total, d_c_total, m_zc, m_zo,
 
 def _bwd_kernel(spec: TrainSpec, layout, *refs):
     offsets, w_save = layout
+    cdt = jnp.dtype(spec.compute_dtype)
     B, T, S = spec.batch, spec.t_mem, spec.num_steps
     A, D = spec.a_units, spec.d_units
     ns = spec.num_sources
@@ -450,6 +453,11 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     def get(row, name):
         off, w = offsets[name]
         return row[:, off:off + w]
+
+    def mm_dw(a, b):
+        # weight-gradient accumulation matmul in the storage dtype: on the
+        # MXU a bf16xbf16 (f32-accumulate) pass costs ~1/3 of f32xf32
+        return _mm_tA(a.astype(cdt), b.astype(cdt))
 
     # prologue: fetch the last step's row (and its predecessor) so the
     # steady-state loop only prefetches one row per iteration
@@ -508,10 +516,10 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             None if det or spec.zo_dec == 0 else masks["zo2"],
             spec.zc_dec, spec.zo_dec, det)
         z2 = jnp.concatenate([o1_t, h2_prev], axis=1)
-        d_lstm2[0][...] += _mm_tA(z2, d_gates2).astype(d_lstm2[0].dtype)
+        d_lstm2[0][...] += mm_dw(z2, d_gates2).astype(d_lstm2[0].dtype)
         d_lstm2[1][...] += jnp.sum(d_gates2, axis=0,
                                    keepdims=True).astype(d_lstm2[1].dtype)
-        d_z2 = _mm_tB(d_gates2, lstm2[0][...].astype(f32))
+        d_z2 = _mm_tB(d_gates2, lstm2[0][...])
         d_o1 = d_o1 + d_z2[:, :D]
         new_d_h2 = d_h2_prev + d_z2[:, D:]
         new_d_c2 = d_c2_prev
@@ -525,20 +533,20 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             None if det or spec.zo_dec == 0 else masks["zo1"],
             spec.zc_dec, spec.zo_dec, det)
         z1 = jnp.concatenate([proj_t, h1_prev], axis=1)
-        d_lstm1[0][...] += _mm_tA(z1, d_gates1).astype(d_lstm1[0].dtype)
+        d_lstm1[0][...] += mm_dw(z1, d_gates1).astype(d_lstm1[0].dtype)
         d_lstm1[1][...] += jnp.sum(d_gates1, axis=0,
                                    keepdims=True).astype(d_lstm1[1].dtype)
-        d_z1 = _mm_tB(d_gates1, lstm1[0][...].astype(f32))
+        d_z1 = _mm_tB(d_gates1, lstm1[0][...])
         d_proj = d_proj + d_z1[:, :D]
         new_d_h1 = d_h1_prev + d_z1[:, D:]
         new_d_c1 = d_c1_prev
 
         # ---- proj = [h_att, ctx] @ Wop + bop
         zop = jnp.concatenate([h_att_t, ctx_t], axis=1)
-        d_outproj[0][...] += _mm_tA(zop, d_proj).astype(d_outproj[0].dtype)
+        d_outproj[0][...] += mm_dw(zop, d_proj).astype(d_outproj[0].dtype)
         d_outproj[1][...] += jnp.sum(d_proj, axis=0,
                                      keepdims=True).astype(d_outproj[1].dtype)
-        d_zop = _mm_tB(d_proj, outproj[0][...].astype(f32))
+        d_zop = _mm_tB(d_proj, outproj[0][...])
         d_h_att = d_zop[:, :A]
         d_ctx_total = d_zop[:, A:] + d_ctx_c
 
@@ -570,18 +578,18 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             s_b = _mm_tA(ind, a_col * d_a)               # (B, 1)
             d_e_col = a_col * (d_a - _mm(ind, s_b))
             # outer product (B*T,1)x(U,1) -> (B*T,U): contract singleton dims
-            d_e = _mm_tB(d_e_col, v_ref[...].astype(f32))
+            d_e = _mm_tB(d_e_col, v_ref[...])
             d_pre = d_e * (1.0 - e * e)
             d_keys_out[si_][...] += d_pre.astype(d_keys_out[si_].dtype)
-            d_vs[si_][...] += _mm_tA(e, d_e_col).astype(d_vs[si_].dtype)
+            d_vs[si_][...] += mm_dw(e, d_e_col).astype(d_vs[si_].dtype)
             d_pq_parts.append(_mm_tA(ind, d_pre))        # (B, U)
             u_off += u
             c_off += c
         d_pq_all = (jnp.concatenate(d_pq_parts, axis=1) if ns > 1
                     else d_pq_parts[0])
-        d_query_all[...] += _mm_tA(h_att_t, d_pq_all).astype(
+        d_query_all[...] += mm_dw(h_att_t, d_pq_all).astype(
             d_query_all.dtype)
-        d_h_att = d_h_att + _mm_tB(d_pq_all, query_all[...].astype(f32))
+        d_h_att = d_h_att + _mm_tB(d_pq_all, query_all[...])
 
         # ---- attention LSTM over z_att = [p_drop, ctx_prev, h_att_prev]
         d_h_att_total = d_h_att + d_h_att_c
@@ -597,10 +605,10 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         else:
             p_drop = a_last
         z_att = jnp.concatenate([p_drop, ctx_prev, h_att_prev], axis=1)
-        d_att[0][...] += _mm_tA(z_att, d_gates_att).astype(d_att[0].dtype)
+        d_att[0][...] += mm_dw(z_att, d_gates_att).astype(d_att[0].dtype)
         d_att[1][...] += jnp.sum(d_gates_att, axis=0,
                                  keepdims=True).astype(d_att[1].dtype)
-        d_z_att = _mm_tB(d_gates_att, att_lstm[0][...].astype(f32))
+        d_z_att = _mm_tB(d_gates_att, att_lstm[0][...])
         d_p = d_z_att[:, :P_last]
         new_d_ctx = d_z_att[:, P_last:P_last + sumC]
         new_d_h_att = d_h_att_prev + d_z_att[:, P_last + sumC:]
@@ -622,13 +630,13 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                     inp = a_in
             else:
                 inp = x_t
-            d_prenet[li][0][...] += _mm_tA(inp, d_pre_l).astype(
+            d_prenet[li][0][...] += mm_dw(inp, d_pre_l).astype(
                 d_prenet[li][0].dtype)
             d_prenet[li][1][...] += jnp.sum(d_pre_l, axis=0,
                                             keepdims=True).astype(
                 d_prenet[li][1].dtype)
             if li > 0:
-                d_p = _mm_tB(d_pre_l, prenet[li][0][...].astype(f32))
+                d_p = _mm_tB(d_pre_l, prenet[li][0][...])
 
         return (new_d_c_att, new_d_h_att, new_d_c1, new_d_h1,
                 new_d_c2, new_d_h2, new_d_ctx)
@@ -782,6 +790,12 @@ def _core_bwd(spec, res, g_flat):
     d_params, d_keys, d_values = _bwd_call(
         spec, params, keys, values, masks, teacher_flat,
         seed_f.astype(jnp.int32), g_flat.astype(jnp.float32), save)
+    # accumulators run in f32; cotangent dtypes must match the primals
+    # (bf16 storage mode casts here, and back to f32 outside the core)
+    d_params = jax.tree_util.tree_map(lambda g, pr: g.astype(pr.dtype),
+                                      d_params, params)
+    d_keys = tuple(g.astype(k.dtype) for g, k in zip(d_keys, keys))
+    d_values = tuple(g.astype(v.dtype) for g, v in zip(d_values, values))
     d_masks = tuple(jnp.zeros_like(m) for m in masks)
     return (d_params, d_keys, d_values, d_masks,
             jnp.zeros_like(teacher_flat), jnp.zeros_like(seed_f))
@@ -802,6 +816,7 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                        zc_att: float, zo_att: float,
                        zc_dec: float, zo_dec: float,
                        deterministic: bool,
+                       compute_dtype: str = "float32",
                        interpret: bool = None) -> Array:
     """Run the teacher-forced RNN trunk as fused fwd/bwd kernels.
 
@@ -813,6 +828,11 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
     Lane alignment is handled here by zero-padding the feedback width and
     each source's U/C to multiples of 128 (zero weight rows/columns make
     the padding exact, and gradients flow back through the pads).
+
+    ``compute_dtype="bfloat16"`` stores weights/keys/values (and runs the
+    matmuls) in bfloat16 with float32 accumulation — the same tradeoff as
+    ``hp.compute_dtype`` on the XLA path; saves, softmax math, and gradient
+    accumulators stay float32.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -855,14 +875,16 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
     blocks.append(watt[r_off:])
     watt_p = jnp.concatenate(blocks, axis=0)
 
+    cdt = jnp.dtype(compute_dtype)
     params_p = FusedTrainParams(
         prenet=tuple(prenet), att_lstm=(watt_p, params.att_lstm[1]),
         query=query, outproj=(wop_p, params.outproj[1]),
         lstm1=params.lstm1, lstm2=params.lstm2)
+    params_p = jax.tree_util.tree_map(lambda x: x.astype(cdt), params_p)
 
-    keys_p = tuple(_pad_cols(k, u2).reshape(B * T_mem, u2)
+    keys_p = tuple(_pad_cols(k, u2).reshape(B * T_mem, u2).astype(cdt)
                    for k, u2 in zip(keys, up))
-    values_p = tuple(_pad_cols(v, c2).reshape(B * T_mem, c2)
+    values_p = tuple(_pad_cols(v, c2).reshape(B * T_mem, c2).astype(cdt)
                      for v, c2 in zip(values, cp))
     masks_p = tuple(jnp.asarray(m, jnp.float32).reshape(B * T_mem, 1)
                     for m in masks)
@@ -877,6 +899,7 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                      zc_att=float(zc_att), zo_att=float(zo_att),
                      zc_dec=float(zc_dec), zo_dec=float(zo_dec),
                      deterministic=bool(deterministic),
+                     compute_dtype=str(compute_dtype),
                      interpret=bool(interpret))
     seed_f = (jnp.asarray(seed, jnp.int32) % jnp.int32(1 << 23)
               ).astype(jnp.float32)

@@ -291,3 +291,31 @@ def test_decoder_fused_train_fallback_logs(caplog):
     assert np.isfinite(np.asarray(out.outputs)).all()
     msgs = [r.getMessage() for r in caplog.records]
     assert any("[train]" in m and "non-additive" in m for m in msgs), msgs
+
+
+def test_bf16_storage_close_to_f32():
+    """compute_dtype='bfloat16' keeps weights/matmuls in bf16 with f32
+    accumulation — outputs and gradients track the f32 path loosely."""
+    p = make_params(jax.random.PRNGKey(0))
+    keys, values, masks, teacher = make_inputs(jax.random.PRNGKey(1))
+    y32 = fused_teacher_scan(p, keys, values, masks, teacher, jnp.int32(0),
+                             **FUSED_KW)
+    y16 = fused_teacher_scan(p, keys, values, masks, teacher, jnp.int32(0),
+                             compute_dtype="bfloat16", **FUSED_KW)
+    np.testing.assert_allclose(np.asarray(y16), np.asarray(y32),
+                               rtol=0.1, atol=0.1)
+
+    def l16(p_):
+        y = fused_teacher_scan(p_, keys, values, masks, teacher,
+                               jnp.int32(0), compute_dtype="bfloat16",
+                               **FUSED_KW)
+        return jnp.sum(y ** 2)
+
+    g16 = jax.grad(l16)(p)
+    g32 = jax.grad(lambda p_: jnp.sum(reference_scan(
+        p_, keys, values, masks, teacher) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g16),
+                    jax.tree_util.tree_leaves(g32)):
+        scale = float(np.max(np.abs(np.asarray(b)))) + 1e-3
+        assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) / scale \
+            < 0.15
