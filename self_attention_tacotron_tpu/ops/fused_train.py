@@ -187,6 +187,24 @@ def _mm_tA(a: Array, b: Array) -> Array:
         preferred_element_type=jnp.float32)
 
 
+def _block_softmax_col(e_col, ind):
+    """Per-UTTERANCE softmax over block rows.
+
+    ``e_col`` is the (B*T, 1) masked energy column (NEG_INF at invalid
+    positions); ``ind`` the (B*T, B) block-indicator.  Each utterance is
+    shifted by its OWN max: a single global shift would underflow an entire
+    row's exps to zero (sum 0 -> NaN) whenever one batch row's max energy
+    sits ~88 below the global max — reachable once ||v||_1 exceeds ~44
+    during training, since additive energies span +-||v||_1."""
+    em = jnp.where(ind > 0.5, e_col, NEG_INF)
+    maxes = jnp.max(em, axis=0, keepdims=True)                # (1, B)
+    # exp of the blocked matrix is zero outside each block, so the lane
+    # reduction recovers the per-row shifted exp without any transpose
+    ex = jnp.sum(jnp.exp(em - maxes), axis=1, keepdims=True)  # (B*T, 1)
+    sums = _mm_tA(ind, ex)                                    # (B, 1)
+    return ex / _mm(ind, sums)
+
+
 def _mm_tB(a: Array, w: Array) -> Array:
     """a @ w^T: (B, N)x(M, N) -> (B, M) — input-gradient matmuls
     (f32 accumulation; ``a`` is cast to ``w``'s storage dtype)."""
@@ -289,13 +307,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
             e = jnp.tanh(keys_ref[...].astype(f32) + pq)
             e_col = _mm(e, v_ref[...])
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
-            # one GLOBAL max shift: per-block softmax is invariant to any
-            # constant shift, and additive energies are tanh-bounded
-            # (|e_col| <= ||v||_1), so exp never under/overflows
-            m_all = jnp.max(e_col, axis=0, keepdims=True)
-            ex = jnp.exp(e_col - m_all)
-            sums = _mm_tA(ind, ex)                   # (B, 1)
-            a_col = ex / _mm(ind, sums)
+            a_col = _block_softmax_col(e_col, ind)
             ctxs.append(_mm_tA(ind, a_col * values_ref[...].astype(f32)))
         ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
         put("ctx", ctx)
@@ -565,10 +577,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             e = jnp.tanh(keys_ref[...].astype(f32) + pq)
             e_col = _mm(e, v_ref[...])
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
-            m_all = jnp.max(e_col, axis=0, keepdims=True)
-            ex = jnp.exp(e_col - m_all)
-            sums = _mm_tA(ind, ex)
-            a_col = ex / _mm(ind, sums)
+            a_col = _block_softmax_col(e_col, ind)
 
             d_ctx_b = d_ctx_total[:, c_off:c_off + c]
             dav = _mm(ind, d_ctx_b)                      # (B*T, C)

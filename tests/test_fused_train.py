@@ -319,3 +319,31 @@ def test_bf16_storage_close_to_f32():
         scale = float(np.max(np.abs(np.asarray(b)))) + 1e-3
         assert float(np.max(np.abs(np.asarray(a) - np.asarray(b)))) / scale \
             < 0.15
+
+
+def test_divergent_row_energies_stay_finite():
+    """Regression: the kernel softmax must shift by each utterance's OWN
+    max.  With all-positive large ||v||_1 and keys pushing one batch row's
+    energies to ~+||v||_1 and the other's to ~-||v||_1, a single global max
+    shift underflows the low row's exps to zero (sum 0 -> NaN).  Advisor
+    finding, round 2."""
+    p = make_params(jax.random.PRNGKey(0))
+    # all-positive v with ||v||_1 = 4*U (96 / 64): row gap ~2*||v||_1 > 88
+    query = tuple((wq, jnp.abs(vq) * 0.0 + 4.0) for wq, vq in p.query)
+    p = p._replace(query=query)
+    keys, values, masks, teacher = make_inputs(jax.random.PRNGKey(1))
+    # row 0 saturates tanh at +1, row 1 at -1 -> energies +-||v||_1
+    sign = jnp.array([5.0, -5.0])[:, None, None]
+    keys = tuple(jnp.ones_like(k) * sign for k in keys)
+
+    y_ref = reference_scan(p, keys, values, masks, teacher)
+    y = fused_teacher_scan(p, keys, values, masks, teacher,
+                           jnp.int32(0), **FUSED_KW)
+    assert np.all(np.isfinite(np.asarray(y)))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+
+    g = jax.grad(lambda p_: jnp.sum(fused_teacher_scan(
+        p_, keys, values, masks, teacher, jnp.int32(0), **FUSED_KW) ** 2))(p)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
