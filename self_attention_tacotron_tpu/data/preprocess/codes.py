@@ -12,6 +12,7 @@ Parity targets:
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import List, NamedTuple, Optional
 
@@ -42,8 +43,14 @@ def load_accent_map(path: str) -> dict:
     order: List[str] = []
     with open(path, encoding="utf8") as f:
         lines = [line.split() for line in f if line.strip()]
-    for parts in lines[1:]:  # skip the 'ID ACCENTS' header
+    # only drop the first line when it actually is the column header — a
+    # headerless file must not silently lose its first speaker
+    if lines and lines[0] and lines[0][0].upper() == "ID":
+        lines = lines[1:]
+    for parts in lines:
         if len(parts) < 2:
+            logging.warning("accent map %s: skipping malformed line %r",
+                            path, " ".join(parts))
             continue
         if parts[1] not in order:
             order.append(parts[1])

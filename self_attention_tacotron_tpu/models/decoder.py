@@ -405,7 +405,7 @@ class TacotronDecoder(nn.Module):
         """Teacher-forced RNN scan, then parallel causal hops + heads
         (reference: modules/module.py:743-765)."""
         if (self.fused_train and not self.is_initializing()
-                and self._fused_train_supported(B, packs)):
+                and self._fused_train_supported(B, packs, teacher_xs)):
             rnn_out, aligns = self._train_scan_fused(packs, B, teacher_xs)
         else:
             carry = self._initial_rnn_carry(B, packs)
@@ -431,10 +431,11 @@ class TacotronDecoder(nn.Module):
                              jnp.full((B,), num_steps, jnp.int32), num_steps)
 
     # --------------------------------- fused teacher-forced training scan
-    def _fused_train_supported(self, B, packs) -> bool:
+    def _fused_train_supported(self, B, packs, teacher_xs) -> bool:
         """Gate for ops/fused_train.py; outside the subset the XLA scan
         runs, with the reason logged once (never config-silent)."""
         from .attention import AdditiveAttention
+        from ..ops import fused_train as ft
         reason = None
         on_tpu = jax.default_backend() == "tpu"
         if self.output_kind != "single":
@@ -458,6 +459,22 @@ class TacotronDecoder(nn.Module):
                                   *self.prenet_out_units)):
             reason = ("attention/decoder/prenet units must be multiples of "
                       "128 on TPU (the flagship's 256/256/(256,128) are)")
+        if reason is None:
+            xs = (teacher_xs[0] if isinstance(teacher_xs, (tuple, list))
+                  else teacher_xs)
+            need = ft.estimate_vmem_bytes(
+                batch=B, num_steps=int(xs.shape[1]),
+                t_mem=int(packs[0].values.shape[1]), cf=int(xs.shape[2]),
+                u_sizes=[int(p.keys.shape[2]) for p in packs],
+                c_sizes=[int(p.values.shape[2]) for p in packs],
+                p_sizes=self.prenet_out_units,
+                a_units=self.attention_rnn_out_units,
+                d_units=self.decoder_out_units,
+                compute_dtype=self.fused_train_dtype)
+            if need > ft.VMEM_LIMIT_BYTES:
+                reason = (f"estimated VMEM residency {need >> 20} MiB "
+                          f"exceeds the {ft.VMEM_LIMIT_BYTES >> 20} MiB "
+                          "kernel limit")
         if reason is not None:
             _warn_fused_fallback("[train] " + reason)
         return reason is None

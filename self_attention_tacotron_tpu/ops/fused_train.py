@@ -105,7 +105,51 @@ def _save_layout(spec: TrainSpec):
     return offsets, off
 
 
-# --------------------------------------------------------------- mask stream
+VMEM_LIMIT_BYTES = 100 << 20   # compiler limit passed to both pallas_calls
+
+
+def estimate_vmem_bytes(*, batch: int, num_steps: int, t_mem: int, cf: int,
+                        u_sizes, c_sizes, p_sizes, a_units: int,
+                        d_units: int, compute_dtype: str = "float32") -> int:
+    """Conservative VMEM residency estimate for the larger (backward) kernel.
+
+    Mirrors the buffer lists of ``_bwd_call``: memory operands, weights,
+    save-row scratch, gradient accumulators, plus a temporaries allowance
+    for the in-step (B*T, B) block-softmax matrices.  Callers gate on this
+    against ``VMEM_LIMIT_BYTES`` so oversized configurations fall back to
+    the XLA scan with a logged reason instead of failing at compile time."""
+    B, S, T = batch, num_steps, t_mem
+    dt = jnp.dtype(compute_dtype).itemsize
+    cfp = _pad128(cf)
+    up = [_pad128(u) for u in u_sizes]
+    cp = [_pad128(c) for c in c_sizes]
+    sumU, sumC = sum(up), sum(cp)
+    A, D = a_units, d_units
+    p_last = p_sizes[-1]
+
+    spec = TrainSpec(batch=B, num_steps=S, cf=cfp, num_sources=len(up),
+                     t_mem=T, u_sizes=tuple(up), c_sizes=tuple(cp),
+                     p_sizes=tuple(p_sizes), a_units=A, d_units=D,
+                     drop_rate=0.0, zc_att=0.0, zo_att=0.0, zc_dec=0.0,
+                     zo_dec=0.0, deterministic=True,
+                     compute_dtype=compute_dtype, interpret=False)
+    _, w_save = _save_layout(spec)
+
+    mem = sum(B * T * (u + c + 1 + B) * 4 for u, c in zip(up, cp))
+    mem += sum(B * T * (u + c) * (dt - 4) for u, c in zip(up, cp))  # cdt k/v
+    w_elems = cfp * p_sizes[0]
+    for i in range(1, len(p_sizes)):
+        w_elems += p_sizes[i - 1] * p_sizes[i]
+    w_elems += (p_last + sumC + A) * 4 * A + A * sumU + sumU
+    w_elems += (A + sumC) * D + 2 * (2 * D * 4 * D)
+    w_elems += 4 * A + D + 8 * D + sum(p_sizes)          # biases
+    weights = w_elems * dt
+    grads = w_elems * 4 + sum(B * T * (u + c) * 4 for u, c in zip(up, cp))
+    bwd = (mem + weights + grads
+           + S * B * D * 4                                # g_y input
+           + 3 * B * w_save * 4 + B * cfp * 4)            # rows3 + x scratch
+    temps = B * T * (max(up) + max(cp) + 2 * B + 8) * 4   # softmax matrices
+    return bwd + temps
 
 def _seed_step(seed_ref, t):
     # distinct, deterministic stream per step; fwd and bwd call this with
