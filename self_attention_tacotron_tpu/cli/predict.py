@@ -126,13 +126,21 @@ def predict(kind: str, argv=None) -> int:
         n_steps = int(out.lengths[0])
         n_frames = n_steps * r
 
+        postnet_mel = None
         if kind == "codes":
             codes = np.asarray(out.code_output[0, :n_frames])
             ground_truth = (nb.target[0, :int(nb.target_length[0])]
                             if nb.target is not None else np.zeros((0, hp.num_mels)))
             payload = codes
         else:
-            payload = np.asarray(out.outputs[0, :n_frames])
+            raw_mel = np.asarray(out.outputs[0, :n_frames])
+            if hp.use_postnet_v2:
+                postnet_mel = np.asarray(out.postnet_outputs[0, :n_frames])
+            # the dumped tensor is what the WaveNet vocoder consumes: the
+            # PostNet-v2 refinement when enabled (reference:
+            # predict_mel.py:61 ``v.predicted_mel_postnet if
+            # hparams.use_postnet_v2 else v.predicted_mel``)
+            payload = postnet_mel if hp.use_postnet_v2 else raw_mel
             ground_truth = (nb.target[0, :int(nb.target_length[0])]
                             if nb.target is not None else None)
 
@@ -149,8 +157,11 @@ def predict(kind: str, argv=None) -> int:
         aligns += [np.asarray(a[0]) for a in
                    plot_src.decoder_self_attention_alignments[:2]]
         png = os.path.join(args.output_dir, f"{meta.key}.png")
-        plot_predictions(aligns, ground_truth, payload, meta.text, meta.key,
-                         png)
+        # the plot shows the RAW decoder mel plus the postnet mel when
+        # present (reference: predict_mel.py:70 passes both)
+        plotted = payload if kind == "codes" else raw_mel
+        plot_predictions(aligns, ground_truth, plotted, meta.text, meta.key,
+                         png, predicted_postnet=postnet_mel)
 
         # prediction TFRecord (reference: write_prediction_result)
         rec_path = os.path.join(args.output_dir, f"{meta.key}.tfrecord")

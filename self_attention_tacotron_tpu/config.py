@@ -36,6 +36,10 @@ class HParams:        # attribute of flax modules / jit closures)
     average_mel_level_db: List[float] = _list_f(0.0)
     stddev_mel_level_db: List[float] = _list_f(0.0)
     min_mel_level_db: List[float] = _list_f(0.0)
+    # emitted by our corpus-statistics reduction alongside the reference's
+    # avg/stddev/min (reference: preprocess_vctk.py:84-86) so the whole
+    # emitted hparams.json can be merged into a model config verbatim
+    max_mel_level_db: List[float] = _list_f(0.0)
     silence_mel_level_db: float = -3.0
 
     # MGC

@@ -122,20 +122,37 @@ def _block_softmax(e_col: Array, ind: Array, B: int, T: int) -> Array:
     return ex / _mm(ind, sums)
 
 
-def _lstm(z: Array, w_ref, b_ref, c_prev: Array, h_prev: Array,
-          zc: float, zo: float) -> Tuple[Array, Array]:
-    """ZoneoutLSTMCell step (ops/rnn.py:49-76), deterministic zoneout."""
-    gates = _mm(z, w_ref[...]) + b_ref[...].astype(jnp.float32)
+def _lstm_gates(gates: Array, c_prev: Array, h_prev: Array,
+                zc: float, zo: float) -> Tuple[Array, Array]:
+    """ZoneoutLSTMCell step from precomputed gate pre-activations
+    (ops/rnn.py:49-76), deterministic zoneout.  The +1.0 forget bias is
+    FOLDED INTO the bias row at wiring time (_fold_forget_bias)."""
     a = gates.shape[1] // 4
     i, g = gates[:, :a], gates[:, a:2 * a]
     f, o = gates[:, 2 * a:3 * a], gates[:, 3 * a:]
-    c_new = c_prev * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(g)
+    c_new = c_prev * jax.nn.sigmoid(f) + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jnp.tanh(c_new) * jax.nn.sigmoid(o)
     if zc > 0.0:
         c_new = (1.0 - zc) * c_new + zc * c_prev
     if zo > 0.0:
         h_new = (1.0 - zo) * h_new + zo * h_prev
     return c_new, h_new
+
+
+def _lstm(z: Array, w_ref, b_ref, c_prev: Array, h_prev: Array,
+          zc: float, zo: float) -> Tuple[Array, Array]:
+    """ZoneoutLSTMCell step (ops/rnn.py:49-76), deterministic zoneout."""
+    gates = _mm(z, w_ref[...]) + b_ref[...].astype(jnp.float32)
+    return _lstm_gates(gates, c_prev, h_prev, zc, zo)
+
+
+def _fold_forget_bias(b: Array) -> Array:
+    """Add the LSTM +1.0 forget bias into the (1, 4A) bias row, removing a
+    VPU add from the kernel's serial chain."""
+    a = b.shape[1] // 4
+    return b + jnp.concatenate(
+        [jnp.zeros((1, 2 * a), b.dtype), jnp.ones((1, a), b.dtype),
+         jnp.zeros((1, a), b.dtype)], axis=1)
 
 
 def _kernel(spec: dict, *refs):
@@ -165,20 +182,32 @@ def _kernel(spec: dict, *refs):
     else:
         # keys (B*T,U), values (B*T,C), mask (B*T,1), indicator (B*T,B)
         mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
-    ind_s = next(it)                  # (B*S, B) indicator for the KV caches
-    pos_s = next(it)                  # (B*S, 1) int32: position within block
-    prenet = [(next(it), next(it)) for _ in range(n_pre)]
+        ind_s = next(it)              # (B*S, B) indicator for the KV caches
+        pos_s = next(it)              # (B*S, 1) int32: position within block
+    p0_init = next(it)                # (1, P0): first-prenet bias = step-0
+    #                                   pre-activation (GO frame is zeros)
+    prenet = [(next(it), next(it)) for _ in range(n_pre - 1)]  # layers 1..
     att_lstm = (next(it), next(it))
     query_all = next(it)              # (A, sum U_i): all query projections
     vs = [] if row_mode else [next(it) for _ in range(ns)]  # (U_i, 1) vecs
-    outproj = (next(it), next(it))
-    lstm1 = (next(it), next(it))
+    # output projection + lstm1 gates merged into ONE matmul over
+    # [h_att | ctx | h1]: cols 0:4D = lstm1 gate pre-activations (through
+    # the precomputed Wop @ W1_x product), cols 4D:5D = proj itself
+    big = (next(it), next(it))        # ((A+sumC+D), 5D), (1, 5D)
     lstm2 = (next(it), next(it))
-    # per hop: fused (D, 3D) K|V|Q projection + out/transform denses
-    hops = [tuple(next(it) for _ in range(6)) for _ in range(n_hops)]
-    head = (next(it), next(it))
+    # per hop: fused (D, 3D) K|V|Q projection + the merged out*transform
+    # dense (Wo @ Wt — no nonlinearity sits between them)
+    hops = [tuple(next(it) for _ in range(4)) for _ in range(n_hops)]
+    head = (next(it), next(it))       # (D, head_pad + P0) extended head:
+    #                                   [out+stop | pad | feedback@prenet0]
     out_ref = next(it)
-    align_refs = [next(it) for _ in range(ns)] if mat_aligns else []
+    if mat_aligns:
+        # row_mode: ONE (ns*S, T) buffer, one store/step; otherwise (B=1
+        # with per-source memory lengths) one (S, T_i) buffer per source
+        align_refs = [next(it)] if row_mode else [next(it)
+                                                  for _ in range(ns)]
+    else:
+        align_refs = []
     caches = [(next(it), next(it)) for _ in range(n_hops)]
     assert next(it, None) is None
 
@@ -196,15 +225,26 @@ def _kernel(spec: dict, *refs):
 
     f32 = jnp.float32
     A = att_lstm[1].shape[1] // 4            # attention RNN units
-    D = lstm1[1].shape[1] // 4               # decoder RNN units
+    D = lstm2[1].shape[1] // 4               # decoder RNN units
     head_dim = D // n_heads
     sa_scale = 1.0 / (head_dim ** 0.5)
+    head_pad = spec["head_pad"]              # 128-aligned offset of the
+    #                                          feedback block in the head row
+    if n_hops and row_mode:
+        # (n_heads, D) block-diagonal head selector: lane d belongs to head
+        # d // head_dim.  Lets ALL heads' scores run as one matmul.
+        hmask = (jax.lax.broadcasted_iota(jnp.int32, (n_heads, D), 1)
+                 // head_dim) == jax.lax.broadcasted_iota(
+                     jnp.int32, (n_heads, D), 0)
 
     def body(t, carry):
-        (x, prev_ctx, h_att, c_att, h1, c1, h2, c2) = carry
+        (p0_pre, prev_ctx, h_att, c_att, h1, c1, h2, c2) = carry
 
-        # prenet stack: Dense + ReLU (inference: no dropout)
-        p = x
+        # prenet stack: Dense + ReLU (inference: no dropout).  The FIRST
+        # layer's matmul was merged into the previous step's head matmul
+        # (feedback @ W0 rides the head weight product), so the carry holds
+        # its pre-activation
+        p = jax.nn.relu(p0_pre)
         for w, b in prenet:
             p = jax.nn.relu(_mm(p, w[...]) + b[...].astype(f32))
 
@@ -234,9 +274,9 @@ def _kernel(spec: dict, *refs):
             ex = jnp.exp(e_rows - m)
             a_rows = ex / jnp.sum(ex, axis=1, keepdims=True)   # (ns, T)
             if mat_aligns:
-                for i in range(ns):
-                    align_refs[i][pl.ds(t, 1), :] = \
-                        a_rows[i:i + 1].astype(align_refs[i].dtype)
+                # both sources' rows land in ONE store
+                align_refs[0][pl.ds(t * ns, ns), :] = \
+                    a_rows.astype(align_refs[0].dtype)
             # per-source contexts in ONE matmul: row i of
             # a_rows @ values_cat holds [a_i . V_1 | a_i . V_2 | ...]; the
             # wanted context is block i of row i — selected by mask+sum
@@ -273,11 +313,14 @@ def _kernel(spec: dict, *refs):
                     ind, a_col * values_ref[...].astype(f32)))  # (B, C_i)
             ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
 
-        # DecoderRNNV1/V2: projection + two residual LSTMs
-        proj = _mm(jnp.concatenate([h_att, ctx], axis=1), outproj[0][...]) \
-            + outproj[1][...].astype(f32)
-        c1, l1 = _lstm(jnp.concatenate([proj, h1], axis=1), lstm1[0],
-                       lstm1[1], c1, h1, spec["zc_dec"], spec["zo_dec"])
+        # DecoderRNNV1/V2: projection + two residual LSTMs.  The projection
+        # and the first LSTM's gates come out of ONE matmul (the outproj
+        # weights were premultiplied into the lstm1 gate weights)
+        bigrow = _mm(jnp.concatenate([h_att, ctx, h1], axis=1), big[0][...]) \
+            + big[1][...].astype(f32)                      # (B, 5D)
+        c1, l1 = _lstm_gates(bigrow[:, :4 * D], c1, h1,
+                             spec["zc_dec"], spec["zo_dec"])
+        proj = bigrow[:, 4 * D:]
         h1 = l1
         o1 = proj + l1
         c2, l2 = _lstm(jnp.concatenate([o1, h2], axis=1), lstm2[0],
@@ -294,56 +337,71 @@ def _kernel(spec: dict, *refs):
         elif n_hops:
             ind_sf = ind_s[...].astype(f32)
             valid = pos_s[...] <= t                        # (B*S, 1)
-        for (wkvq, bkvq, wo, bo, wt, bt), (kc, vc) in zip(hops, caches):
+        for (wkvq, bkvq, wot, bot), (kc, vc) in zip(hops, caches):
             kvq = _mm(y, wkvq[...]) + bkvq[...].astype(f32)  # (B, 3D)
-            k_t, v_t = kvq[:, :D], kvq[:, D:2 * D]
             q_t = kvq[:, 2 * D:]
             for b in range(B):
-                kc[pl.ds(t + b * S, 1), :] = k_t[b:b + 1].astype(kc.dtype)
-                vc[pl.ds(t + b * S, 1), :] = v_t[b:b + 1].astype(vc.dtype)
+                kc[pl.ds(t + b * S, 1), :] = \
+                    kvq[b:b + 1, :D].astype(kc.dtype)
+                vc[pl.ds(t + b * S, 1), :] = \
+                    kvq[b:b + 1, D:2 * D].astype(vc.dtype)
             k_all = kc[...].astype(f32)                    # (B*S, D)
             v_all = vc[...].astype(f32)
-            hctx = []
-            for h in range(n_heads):
-                sl = slice(h * head_dim, (h + 1) * head_dim)
-                if row_mode:  # one MXU dot -> (1, S) score row
-                    s_row = jax.lax.dot_general(
-                        q_t[:, sl], k_all[:, sl],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=f32) * sa_scale
-                    s_row = jnp.where(valid_row, s_row, NEG_INF)
-                    m_r = jnp.max(s_row, axis=1, keepdims=True)
-                    ex_r = jnp.exp(s_row - m_r)
-                    p_row = ex_r / jnp.sum(ex_r, axis=1, keepdims=True)
-                    hctx.append(jax.lax.dot_general(
-                        p_row, v_all[:, sl],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=f32))       # (1, head_dim)
-                else:
+            if row_mode:
+                # ALL heads in one matmul pair: scores (n_heads, S) from a
+                # block-diagonal query, one joint softmax along lanes, and
+                # the per-head context blocks selected from the (n_heads, D)
+                # probe-times-values product by the same head selector.
+                # Normalization happens AFTER the context matmul ((h, D)
+                # multiply instead of an (h, S) divide on the serial chain).
+                qb = jnp.where(hmask, jnp.broadcast_to(q_t, (n_heads, D)),
+                               0.0)
+                s = jax.lax.dot_general(
+                    qb, k_all, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32) * sa_scale  # (n_heads, S)
+                s = jnp.where(valid_row, s, NEG_INF)
+                m_r = jnp.max(s, axis=1, keepdims=True)
+                ex_r = jnp.exp(s - m_r)
+                pv = jax.lax.dot_general(
+                    ex_r, v_all, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)             # (n_heads, D)
+                recip = 1.0 / jnp.sum(ex_r, axis=1, keepdims=True)
+                hctx_cat = jnp.sum(jnp.where(hmask, pv * recip, 0.0),
+                                   axis=0, keepdims=True)   # (1, D)
+            else:
+                hctx = []
+                for h in range(n_heads):
+                    sl = slice(h * head_dim, (h + 1) * head_dim)
                     q_rep = _mm(ind_sf, q_t[:, sl])        # (B*S, head_dim)
                     s_col = jnp.sum(k_all[:, sl] * q_rep, axis=1,
                                     keepdims=True) * sa_scale  # (B*S, 1)
                     s_col = jnp.where(valid, s_col, NEG_INF)
                     p_col = _block_softmax(s_col, ind_sf, B, S)
                     hctx.append(_block_reduce(ind_sf, p_col * v_all[:, sl]))
-            attn = _mm(jnp.concatenate(hctx, axis=1), wo[...]) \
-                + bo[...].astype(f32)
-            y = y + jnp.tanh(_mm(attn, wt[...]) + bt[...].astype(f32))
+                hctx_cat = jnp.concatenate(hctx, axis=1)
+            # merged out*transform dense (Wo @ Wt precomputed)
+            y = y + jnp.tanh(_mm(hctx_cat, wot[...]) + bot[...].astype(f32))
 
-        # fused output + stop heads: one (D, Cr+1) matmul
-        row = _mm(y, head[0][...]) + head[1][...].astype(f32)  # (B, Cr+1)
+        # fused output + stop + NEXT-STEP-prenet heads: one matmul.  Columns
+        # [0, cr] hold the output row and stop logit; columns [head_pad,
+        # head_pad+P0) hold the next step's first-prenet pre-activation
+        # (feedback slice premultiplied through W0)
+        row = _mm(y, head[0][...]) + head[1][...].astype(f32)
         for b in range(B):
-            out_ref[pl.ds(t + b * S, 1), :] = row[b:b + 1].astype(out_ref.dtype)
+            out_ref[pl.ds(t + b * S, 1), :] = \
+                row[b:b + 1, :cr + 1].astype(out_ref.dtype)
 
-        # raw-frame feedback: last n_feed_frame frames of the output row
-        x_next = row[:, cr - cf:cr]
+        p0_next = row[:, head_pad:]
         stop_col = row[:, cr:cr + 1]
-        return (x_next, ctx, h_att, c_att, h1, c1, h2, c2), stop_col
+        return (p0_next, ctx, h_att, c_att, h1, c1, h2, c2), stop_col
 
     zeros = lambda n: jnp.zeros((B, n), f32)
     cctx = (sum(spec["c_sizes"]) if row_mode
             else sum(int(v.shape[1]) for _, v, _, _ in mem))
-    carry0 = (zeros(cf), zeros(cctx), zeros(A), zeros(A),
+    # step-0 prenet pre-activation: GO frame is zeros, so it is just b0
+    p0_0 = jnp.broadcast_to(p0_init[...].astype(f32),
+                            (B, p0_init.shape[1]))
+    carry0 = (p0_0, zeros(cctx), zeros(A), zeros(A),
               zeros(D), zeros(D), zeros(D), zeros(D))
     if spec["early_stop"]:
         # dynamic_decode-style early exit: a while_loop that stops once
@@ -480,33 +538,68 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                                       np.ones((T, 1), np.float32)))
             ins += [w(flat(k)), w(flat(v)),
                     jnp.asarray(m.reshape(B * T, 1), jnp.float32), ind]
-    ind_s = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
-                                np.ones((S, 1), np.float32)))
-    pos_s = jnp.asarray((np.arange(B * S) % S).reshape(B * S, 1), jnp.int32)
-    ins += [ind_s, pos_s]
-    for wt, b in params.prenet:
+    D = params.lstm1[1].shape[1] // 4
+    W0, b0 = params.prenet[0]
+    P0 = int(b0.shape[1])
+    # serial-chain merges (all pure weight preproducts — one-time cost):
+    #  * outproj premultiplied into the lstm1 gate weights -> ONE matmul
+    #    emits [gates1 | proj]
+    #  * each hop's out & transform denses collapse (no nonlinearity
+    #    between them): W_ot = Wo @ Wt
+    #  * the head matmul also emits the NEXT step's first-prenet
+    #    pre-activation: feedback slice times W0, premultiplied
+    Wop, bop = params.outproj
+    W1, b1 = params.lstm1
+    w_big = jnp.concatenate([
+        jnp.concatenate([Wop @ W1[:D], Wop], axis=1),
+        jnp.concatenate([W1[D:], jnp.zeros((D, D), W1.dtype)], axis=1),
+    ], axis=0)                                       # (A+sumC+D, 5D)
+    b_big = jnp.concatenate(
+        [_fold_forget_bias(b1) + bop @ W1[:D], bop], axis=1)
+    head_pad = ((cr + 1 + 127) // 128) * 128         # 128-aligned fb offset
+    Wh, bh = params.head
+    w_fb = Wh[:, cr - cf:cr] @ W0                    # (D, P0)
+    b_fb = bh[:, cr - cf:cr] @ W0 + b0
+    zpad = head_pad - (cr + 1)
+    w_head = jnp.concatenate(
+        [Wh, jnp.zeros((Wh.shape[0], zpad), Wh.dtype), w_fb], axis=1)
+    b_head = jnp.concatenate(
+        [bh, jnp.zeros((1, zpad), bh.dtype), b_fb], axis=1)
+
+    if not row_mode:
+        ind_s = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
+                                    np.ones((S, 1), np.float32)))
+        pos_s = jnp.asarray((np.arange(B * S) % S).reshape(B * S, 1),
+                            jnp.int32)
+        ins += [ind_s, pos_s]
+    ins += [w(b0)]
+    for wt, b in params.prenet[1:]:
         ins += [w(wt), w(b)]
-    ins += [w(params.att_lstm[0]), w(params.att_lstm[1])]
+    ins += [w(params.att_lstm[0]), w(_fold_forget_bias(params.att_lstm[1]))]
     # all source query projections fused into one matmul
     ins += [w(jnp.concatenate([wq for wq, _ in params.query], axis=1))]
     if not row_mode:
         ins += [w(v) for _, v in params.query]
-    ins += [w(params.outproj[0]), w(params.outproj[1]),
-            w(params.lstm1[0]), w(params.lstm1[1]),
-            w(params.lstm2[0]), w(params.lstm2[1])]
+    ins += [w(w_big), w(b_big),
+            w(params.lstm2[0]), w(_fold_forget_bias(params.lstm2[1]))]
     for wk, bk, wv, bv, wq, bq, wo, bo, wt, bt in params.hops:
         # K|V|Q fused into one (D, 3D) projection
         ins += [w(jnp.concatenate([wk, wv, wq], axis=1)),
                 w(jnp.concatenate([bk, bv, bq], axis=1)),
-                w(wo), w(bo), w(wt), w(bt)]
-    ins += [w(params.head[0]), w(params.head[1])]
+                w(wo @ wt), w(bo @ wt + bt)]
+    ins += [w(w_head), w(b_head)]
+
+    spec["head_pad"] = head_pad
 
     # row-store buffers stay f32: Mosaic cannot prove dynamic single-row
     # stores tile-aligned for 16-sublane (bf16) tiles; bf16 mode narrows
     # only the weights/memories (the dominant VMEM + bandwidth term)
-    D = params.lstm1[1].shape[1] // 4
     out_shapes = [jax.ShapeDtypeStruct((B * S, cr + 1), jnp.float32)]
-    if mat_aligns:
+    ns = len(memory.keys)
+    if mat_aligns and row_mode:
+        out_shapes += [jax.ShapeDtypeStruct((ns * S, t_lens[0]),
+                                            jnp.float32)]
+    elif mat_aligns:
         out_shapes += [jax.ShapeDtypeStruct((S, T), jnp.float32)
                        for T in t_lens]
     scratch = []
@@ -531,7 +624,11 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     )(*ins)
 
     out_rows = outs[0].astype(jnp.float32).reshape(B, S, cr + 1)
-    if mat_aligns:
+    if mat_aligns and row_mode:
+        # unpack the single (ns*S, T) buffer: row t*ns + i = step t, source i
+        a_all = outs[1].astype(jnp.float32).reshape(S, ns, t_lens[0])
+        aligns = tuple(a_all[None, :, i, :] for i in range(ns))
+    elif mat_aligns:
         aligns = tuple(a.astype(jnp.float32)[None] for a in outs[1:])
     else:
         aligns = tuple(jnp.zeros((B, S, T), jnp.float32) for T in t_lens)

@@ -45,11 +45,14 @@ def plot_alignment(alignment: np.ndarray, path: str,
 def plot_predictions(alignments: Sequence[np.ndarray],
                      ground_truth: Optional[np.ndarray],
                      predicted: Optional[np.ndarray], text: str,
-                     key: str, path: str) -> None:
+                     key: str, path: str,
+                     predicted_postnet: Optional[np.ndarray] = None) -> None:
     """Alignment heatmaps + GT/predicted spectrogram panels
-    (reference: modules/metrics.py:13-53)."""
+    (reference: modules/metrics.py:13-53; the reference reserves a row for
+    the PostNet-v2 mel whenever it is present — we render it)."""
     n_align = len(alignments)
-    n_spec = int(ground_truth is not None) + int(predicted is not None)
+    n_spec = (int(ground_truth is not None) + int(predicted is not None)
+              + int(predicted_postnet is not None))
     fig = plt.figure(figsize=(12, 3 * (n_align + n_spec)))
     for i, align in enumerate(alignments):
         ax = fig.add_subplot(n_align + n_spec, 1, i + 1)
@@ -59,7 +62,8 @@ def plot_predictions(alignments: Sequence[np.ndarray],
         ax.set_title(f"alignment {i + 1}")
     row = n_align + 1
     for name, spec in (("ground truth", ground_truth),
-                       ("predicted", predicted)):
+                       ("predicted", predicted),
+                       ("predicted (postnet)", predicted_postnet)):
         if spec is None:
             continue
         ax = fig.add_subplot(n_align + n_spec, 1, row)
