@@ -254,7 +254,8 @@ class TacotronDecoder(nn.Module):
         if (mode == DecoderMode.INFERENCE and self.fused_inference
                 and not self.is_initializing()
                 and self._fused_supported(B, teacher_alignments)):
-            return self._decode_path_fused(packs, B, num_steps)
+            return self._decode_path_fused(packs, B, num_steps,
+                                           speaker_embed)
         if (mode == DecoderMode.INFERENCE and self.early_stop
                 and not self.apply_dropout_on_inference
                 and not self.is_initializing()):  # while_loop bodies cannot
@@ -406,7 +407,8 @@ class TacotronDecoder(nn.Module):
         (reference: modules/module.py:743-765)."""
         if (self.fused_train and not self.is_initializing()
                 and self._fused_train_supported(B, packs, teacher_xs)):
-            rnn_out, aligns = self._train_scan_fused(packs, B, teacher_xs)
+            rnn_out, aligns = self._train_scan_fused(packs, B, teacher_xs,
+                                                     speaker_embed)
         else:
             carry = self._initial_rnn_carry(B, packs)
 
@@ -440,8 +442,6 @@ class TacotronDecoder(nn.Module):
         on_tpu = jax.default_backend() == "tpu"
         if self.output_kind != "single":
             reason = f"output_kind={self.output_kind!r} is not fused"
-        elif self.use_speaker_embed:
-            reason = "speaker-embedding prenet conditioning is not fused"
         elif any(p.teacher_alignments is not None for p in packs):
             reason = "forced-alignment replay is not fused"
         elif not all(isinstance(m, AdditiveAttention)
@@ -467,7 +467,9 @@ class TacotronDecoder(nn.Module):
                 t_mem=int(packs[0].values.shape[1]), cf=int(xs.shape[2]),
                 u_sizes=[int(p.keys.shape[2]) for p in packs],
                 c_sizes=[int(p.values.shape[2]) for p in packs],
-                p_sizes=self.prenet_out_units,
+                p_sizes=((self.prenet_out_units[0],) + self.prenet_out_units
+                         if self.use_speaker_embed
+                         else self.prenet_out_units),
                 a_units=self.attention_rnn_out_units,
                 d_units=self.decoder_out_units,
                 compute_dtype=self.fused_train_dtype)
@@ -479,7 +481,7 @@ class TacotronDecoder(nn.Module):
             _warn_fused_fallback("[train] " + reason)
         return reason is None
 
-    def _train_scan_fused(self, packs, B, teacher_xs):
+    def _train_scan_fused(self, packs, B, teacher_xs, speaker_embed=None):
         """Run ops/fused_train.fused_teacher_scan on this module's bound
         params.  Identical math to the nn.scan over ``_rnn_step`` (verified
         in tests/test_fused_train.py: forward AND gradients); the in-kernel
@@ -494,10 +496,8 @@ class TacotronDecoder(nn.Module):
             return module.variables["params"]
 
         prenet_p = p(self.prenets)
-        prenet = tuple(
-            (prenet_p[f"prenet_{i}"]["dense"]["kernel"],
-             prenet_p[f"prenet_{i}"]["dense"]["bias"].reshape(1, -1))
-            for i in range(len(self.prenet_out_units)))
+        prenet, speaker_row = self._fused_prenet_params(prenet_p,
+                                                        speaker_embed)
         al = p(self.attention_lstm)
         query = tuple(
             (p(m)["query_layer"]["kernel"], jnp.transpose(p(m)["attention_v"]))
@@ -526,7 +526,9 @@ class TacotronDecoder(nn.Module):
             zc_att=self.zoneout_factor_cell,
             zo_att=self.zoneout_factor_output,
             zc_dec=zc_dec, zo_dec=zo_dec, deterministic=False,
-            compute_dtype=self.fused_train_dtype)
+            compute_dtype=self.fused_train_dtype,
+            p_dropout=self._fused_prenet_dropout(),
+            speaker_row=speaker_row)
         T_steps = teacher_xs.shape[1]
         aligns = tuple(jnp.zeros((B, T_steps, pk.values.shape[1]), self.dtype)
                        for pk in packs)
@@ -653,8 +655,6 @@ class TacotronDecoder(nn.Module):
                     "(> 64 MiB gate)")
         if self.output_kind != "single":
             return f"output_kind={self.output_kind!r} (mgclf0 not fused)"
-        if self.use_speaker_embed:
-            return "speaker-embedding prenet conditioning is not fused"
         if self.apply_dropout_on_inference:
             return "inference-time prenet dropout is not fused"
         if teacher_alignments is not None:
@@ -666,7 +666,43 @@ class TacotronDecoder(nn.Module):
                                 for m in self.attention_mechanisms))
         return None
 
-    def _decode_path_fused(self, packs, B, num_steps):
+    def _fused_prenet_params(self, prenet_p, speaker_embed):
+        """Flatten the prenet stack into dense (W, b-row) pairs for the
+        fused kernels.
+
+        With speaker conditioning the first stack entry is a
+        MultiSpeakerPreNet (dense0 -> ReLU -> +softsign(speaker proj) ->
+        dense -> ReLU -> dropout, reference:
+        modules/multi_speaker_modules.py:11-35): it contributes TWO dense
+        layers plus a per-utterance speaker ROW added after the first ReLU
+        — constant across decode steps, so the kernels take it as one
+        (B, P0) operand and the softsign projection stays in XLA (keeping
+        it differentiable for the training kernel's custom VJP)."""
+        def row(b):
+            return jnp.asarray(b).reshape(1, -1)
+        layers = []
+        speaker_row = None
+        for i in range(len(self.prenet_out_units)):
+            lp = prenet_p[f"prenet_{i}"]
+            if i == 0 and self.use_speaker_embed:
+                layers.append((lp["dense0"]["kernel"],
+                               row(lp["dense0"]["bias"])))
+                sp = lp["speaker_projection"]
+                s = (jnp.asarray(speaker_embed, jnp.float32)
+                     @ jnp.asarray(sp["kernel"], jnp.float32)
+                     + jnp.asarray(sp["bias"], jnp.float32))
+                speaker_row = jax.nn.soft_sign(s)
+            layers.append((lp["dense"]["kernel"], row(lp["dense"]["bias"])))
+        return tuple(layers), speaker_row
+
+    def _fused_prenet_dropout(self):
+        """Per-flattened-layer dropout flags: MultiSpeakerPreNet's dense0
+        has NO dropout; every other dense is followed by one."""
+        if self.use_speaker_embed:
+            return (False,) + (True,) * len(self.prenet_out_units)
+        return (True,) * len(self.prenet_out_units)
+
+    def _decode_path_fused(self, packs, B, num_steps, speaker_embed=None):
         """Run ops/fused_decode.fused_decode on this module's bound params.
 
         Identical math to ``_decode_path`` in INFERENCE mode (verified in
@@ -683,10 +719,8 @@ class TacotronDecoder(nn.Module):
             return jnp.asarray(b).reshape(1, -1)
 
         prenet_p = p(self.prenets)
-        prenet = tuple(
-            (prenet_p[f"prenet_{i}"]["dense"]["kernel"],
-             row(prenet_p[f"prenet_{i}"]["dense"]["bias"]))
-            for i in range(len(self.prenet_out_units)))
+        prenet, speaker_row = self._fused_prenet_params(prenet_p,
+                                                        speaker_embed)
         al = p(self.attention_lstm)
         query = tuple(
             (p(m)["query_layer"]["kernel"], jnp.transpose(p(m)["attention_v"]))
@@ -730,7 +764,8 @@ class TacotronDecoder(nn.Module):
             dec_zoneout_cell=zc_dec, dec_zoneout_output=zo_dec,
             early_stop=self.early_stop, min_iters=self.min_iters,
             compute_dtype=(jnp.bfloat16 if self.fused_dtype == "bfloat16"
-                           else jnp.float32))
+                           else jnp.float32),
+            speaker_row=speaker_row)
 
         # lengths: same stop-token semantics as the scan path, recovered
         # post-hoc from the emitted stop logits — per-row first-fire step

@@ -186,6 +186,9 @@ def _kernel(spec: dict, *refs):
         pos_s = next(it)              # (B*S, 1) int32: position within block
     p0_init = next(it)                # (1, P0): first-prenet bias = step-0
     #                                   pre-activation (GO frame is zeros)
+    # (B, P0) per-utterance speaker row added after the first layer's ReLU
+    # (MultiSpeakerPreNet, reference: modules/multi_speaker_modules.py:11-35)
+    spk = next(it) if spec["use_spk"] else None
     prenet = [(next(it), next(it)) for _ in range(n_pre - 1)]  # layers 1..
     att_lstm = (next(it), next(it))
     query_all = next(it)              # (A, sum U_i): all query projections
@@ -245,6 +248,8 @@ def _kernel(spec: dict, *refs):
         # (feedback @ W0 rides the head weight product), so the carry holds
         # its pre-activation
         p = jax.nn.relu(p0_pre)
+        if spk is not None:
+            p = p + spk[...].astype(f32)
         for w, b in prenet:
             p = jax.nn.relu(_mm(p, w[...]) + b[...].astype(f32))
 
@@ -466,7 +471,8 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                  zoneout_cell: float = 0.0, zoneout_output: float = 0.0,
                  dec_zoneout_cell: float = 0.0, dec_zoneout_output: float = 0.0,
                  early_stop: bool = False, min_iters: int = 10,
-                 compute_dtype=jnp.float32, interpret: bool = None):
+                 compute_dtype=jnp.float32, interpret: bool = None,
+                 speaker_row=None):
     """Run the whole inference loop in one kernel.
 
     Returns (out (B, S, num_mels*r), stop (B, S), aligns tuple of
@@ -497,7 +503,8 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                 zc_att=float(zoneout_cell), zo_att=float(zoneout_output),
                 zc_dec=float(dec_zoneout_cell),
                 zo_dec=float(dec_zoneout_output),
-                early_stop=bool(early_stop), min_iters=int(min_iters))
+                early_stop=bool(early_stop), min_iters=int(min_iters),
+                use_spk=speaker_row is not None)
 
     def w(x):
         return jnp.asarray(x, cdt)
@@ -573,6 +580,8 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                             jnp.int32)
         ins += [ind_s, pos_s]
     ins += [w(b0)]
+    if speaker_row is not None:
+        ins += [jnp.asarray(speaker_row, jnp.float32)]
     for wt, b in params.prenet[1:]:
         ins += [w(wt), w(b)]
     ins += [w(params.att_lstm[0]), w(_fold_forget_bias(params.att_lstm[1]))]

@@ -71,6 +71,9 @@ class TrainSpec(NamedTuple):
     u_sizes: Tuple[int, ...]      # attention units per source
     c_sizes: Tuple[int, ...]      # value widths per source
     p_sizes: Tuple[int, ...]      # prenet layer widths
+    p_dropout: Tuple[bool, ...]   # dropout-after flag per prenet layer
+    #                               (MultiSpeakerPreNet's dense0 has none)
+    use_spk: bool                 # add a (B, P0) speaker row after layer 0
     a_units: int                  # attention-RNN units A
     d_units: int                  # decoder-RNN units D
     drop_rate: float
@@ -129,7 +132,9 @@ def estimate_vmem_bytes(*, batch: int, num_steps: int, t_mem: int, cf: int,
 
     spec = TrainSpec(batch=B, num_steps=S, cf=cfp, num_sources=len(up),
                      t_mem=T, u_sizes=tuple(up), c_sizes=tuple(cp),
-                     p_sizes=tuple(p_sizes), a_units=A, d_units=D,
+                     p_sizes=tuple(p_sizes),
+                     p_dropout=(True,) * len(p_sizes), use_spk=False,
+                     a_units=A, d_units=D,
                      drop_rate=0.0, zc_att=0.0, zo_att=0.0, zc_dec=0.0,
                      zo_dec=0.0, deterministic=True,
                      compute_dtype=compute_dtype, interpret=False)
@@ -187,7 +192,7 @@ def _step_masks(spec: TrainSpec, seed_ref, t):
     m = {}
     for i, p in enumerate(spec.p_sizes):
         m[f"p{i}"] = (_dropout_mask((B, p), spec.drop_rate)
-                      if spec.drop_rate > 0 else None)
+                      if spec.drop_rate > 0 and spec.p_dropout[i] else None)
     m["zc_att"] = (_zoneout_keep((B, A), spec.zc_att)
                    if spec.zc_att > 0 else None)
     m["zo_att"] = (_zoneout_keep((B, A), spec.zo_att)
@@ -271,6 +276,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
     seed_ref = next(it)
     teacher_hbm = next(it)                       # (S*B, cf) in HBM
+    spk = next(it)                               # (B, P0) speaker row
     prenet = [(next(it), next(it)) for _ in spec.p_sizes]
     att_lstm = (next(it), next(it))
     query_all = next(it)
@@ -314,15 +320,20 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
         cp_in.wait()
         x = x_scr[...].astype(f32)
 
-        # prenet stack (Dense -> ReLU -> dropout), acts saved pre-dropout
+        # prenet stack (Dense -> ReLU -> dropout), acts saved pre-dropout;
+        # with speaker conditioning layer 0 is MultiSpeakerPreNet's dense0:
+        # no dropout, and the softsign speaker row adds after its ReLU
         p = x
         for i, (w, b) in enumerate(prenet):
             a_act = jax.nn.relu(_mm(p, w[...]) + b[...].astype(f32))
             put(f"p{i}", a_act)
-            if spec.drop_rate > 0 and not spec.deterministic:
+            if (spec.drop_rate > 0 and not spec.deterministic
+                    and spec.p_dropout[i]):
                 p = a_act * masks[f"p{i}"]
             else:
                 p = a_act
+            if spec.use_spk and i == 0:
+                p = p + spk[...].astype(f32)
 
         # attention LSTM over [prenet, prev_context]
         z_att = jnp.concatenate([p, prev_ctx, h_att], axis=1)
@@ -466,6 +477,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
     seed_ref = next(it)
     teacher_hbm = next(it)
+    spk = next(it)
     prenet = [(next(it), next(it)) for _ in spec.p_sizes]
     att_lstm = (next(it), next(it))
     query_all = next(it)
@@ -485,6 +497,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     d_lstm2 = (next(it), next(it))
     d_keys_out = [next(it) for _ in range(ns)]    # (B*T, U_i)
     d_values_out = [next(it) for _ in range(ns)]  # (B*T, C_i)
+    d_spk_out = next(it)                          # (B, P0)
     x_scr = next(it)
     rows3 = next(it)                              # (3*B, w_save) VMEM: three
     #       rotating save-row slots — each saved row is consumed twice (as
@@ -503,7 +516,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         w_ref[...] = jnp.zeros_like(w_ref)
         b_ref[...] = jnp.zeros_like(b_ref)
     d_query_all[...] = jnp.zeros_like(d_query_all)
-    for r in (*d_vs, *d_keys_out, *d_values_out):
+    for r in (*d_vs, *d_keys_out, *d_values_out, d_spk_out):
         r[...] = jnp.zeros_like(r)
 
     def get(row, name):
@@ -653,10 +666,12 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             spec.zc_att, spec.zo_att, det)
         # reconstruct the dropped prenet output (input of the att LSTM)
         a_last = get(rt, f"p{n_pre - 1}")
-        if spec.drop_rate > 0 and not det:
+        if spec.drop_rate > 0 and not det and spec.p_dropout[n_pre - 1]:
             p_drop = a_last * masks[f"p{n_pre - 1}"]
         else:
             p_drop = a_last
+        if spec.use_spk and n_pre == 1:
+            p_drop = p_drop + spk[...].astype(f32)
         z_att = jnp.concatenate([p_drop, ctx_prev, h_att_prev], axis=1)
         d_att[0][...] += mm_dw(z_att, d_gates_att).astype(d_att[0].dtype)
         d_att[1][...] += jnp.sum(d_gates_att, axis=0,
@@ -667,20 +682,26 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         new_d_h_att = d_h_att_prev + d_z_att[:, P_last + sumC:]
         new_d_c_att = d_c_att_prev
 
-        # ---- prenet backward (last layer -> first)
+        # ---- prenet backward (last layer -> first); the speaker row adds
+        # AFTER layer 0's (mask-free) output, so its gradient is the raw
+        # d_p arriving at that point
         for li in range(n_pre - 1, -1, -1):
+            if spec.use_spk and li == 0:
+                d_spk_out[...] += d_p.astype(d_spk_out.dtype)
             a_act = get(rt, f"p{li}")
-            if spec.drop_rate > 0 and not det:
+            if spec.drop_rate > 0 and not det and spec.p_dropout[li]:
                 d_a = d_p * masks[f"p{li}"]
             else:
                 d_a = d_p
             d_pre_l = d_a * (a_act > 0).astype(f32)
             if li > 0:
                 a_in = get(rt, f"p{li - 1}")
-                if spec.drop_rate > 0 and not det:
+                if spec.drop_rate > 0 and not det and spec.p_dropout[li - 1]:
                     inp = a_in * masks[f"p{li - 1}"]
                 else:
                     inp = a_in
+                if spec.use_spk and li - 1 == 0:
+                    inp = inp + spk[...].astype(f32)
             else:
                 inp = x_t
             d_prenet[li][0][...] += mm_dw(inp, d_pre_l).astype(
@@ -726,12 +747,12 @@ def _mem_ins(spec: TrainSpec, keys, values, masks):
 
 
 def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
-              seed_i):
+              seed_i, spk):
     layout = _save_layout(spec)
     _, w_save = layout
     B, S, D = spec.batch, spec.num_steps, spec.d_units
     ins = _mem_ins(spec, keys, values, masks)
-    ins += [seed_i.reshape(1), teacher_flat]
+    ins += [seed_i.reshape(1), teacher_flat, spk]
     ins += _weight_ins(params)
     n_mem = 4 * spec.num_sources
 
@@ -759,12 +780,12 @@ def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
 
 
 def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
-              seed_i, g_flat, save):
+              seed_i, spk, g_flat, save):
     layout = _save_layout(spec)
     _, w_save = layout
     B, S = spec.batch, spec.num_steps
     ins = _mem_ins(spec, keys, values, masks)
-    ins += [seed_i.reshape(1), teacher_flat]
+    ins += [seed_i.reshape(1), teacher_flat, spk]
     ins += _weight_ins(params)
     ins += [g_flat, save]
     n_mem = 4 * spec.num_sources
@@ -772,16 +793,18 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_mem
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
-                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+                 pl.BlockSpec(memory_space=pltpu.VMEM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
 
-    # gradient outputs mirror the weight inputs, then d_keys/d_values
+    # gradient outputs mirror the weight inputs, then d_keys/d_values/d_spk
     w_ins = _weight_ins(params)
     out_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in w_ins]
     out_shapes += [jax.ShapeDtypeStruct(k.shape, jnp.float32) for k in keys]
     out_shapes += [jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in values]
+    out_shapes += [jax.ShapeDtypeStruct(spk.shape, jnp.float32)]
     scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
                pltpu.VMEM((3 * B, w_save), jnp.float32),
                pltpu.SemaphoreType.DMA(()),
@@ -808,6 +831,7 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     d_lstm2 = (next(it), next(it))
     d_keys = tuple(next(it) for _ in range(spec.num_sources))
     d_values = tuple(next(it) for _ in range(spec.num_sources))
+    d_spk = next(it)
     assert next(it, None) is None
 
     # split the fused query-projection gradient back per source
@@ -819,30 +843,30 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     d_params = FusedTrainParams(prenet=d_prenet, att_lstm=d_att,
                                 query=tuple(d_query), outproj=d_outproj,
                                 lstm1=d_lstm1, lstm2=d_lstm2)
-    return d_params, d_keys, d_values
+    return d_params, d_keys, d_values, d_spk
 
 
 # =============================================================== custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_scan_core(spec: TrainSpec, params, keys, values, masks,
-                     teacher_flat, seed_f):
+                     teacher_flat, seed_f, spk):
     y, _ = _fwd_call(spec, params, keys, values, masks, teacher_flat,
-                     seed_f.astype(jnp.int32))
+                     seed_f.astype(jnp.int32), spk)
     return y
 
 
-def _core_fwd(spec, params, keys, values, masks, teacher_flat, seed_f):
+def _core_fwd(spec, params, keys, values, masks, teacher_flat, seed_f, spk):
     y, save = _fwd_call(spec, params, keys, values, masks, teacher_flat,
-                        seed_f.astype(jnp.int32))
-    return y, (params, keys, values, masks, teacher_flat, seed_f, save)
+                        seed_f.astype(jnp.int32), spk)
+    return y, (params, keys, values, masks, teacher_flat, seed_f, spk, save)
 
 
 def _core_bwd(spec, res, g_flat):
-    params, keys, values, masks, teacher_flat, seed_f, save = res
-    d_params, d_keys, d_values = _bwd_call(
+    params, keys, values, masks, teacher_flat, seed_f, spk, save = res
+    d_params, d_keys, d_values, d_spk = _bwd_call(
         spec, params, keys, values, masks, teacher_flat,
-        seed_f.astype(jnp.int32), g_flat.astype(jnp.float32), save)
+        seed_f.astype(jnp.int32), spk, g_flat.astype(jnp.float32), save)
     # accumulators run in f32; cotangent dtypes must match the primals
     # (bf16 storage mode casts here, and back to f32 outside the core)
     d_params = jax.tree_util.tree_map(lambda g, pr: g.astype(pr.dtype),
@@ -851,7 +875,8 @@ def _core_bwd(spec, res, g_flat):
     d_values = tuple(g.astype(v.dtype) for g, v in zip(d_values, values))
     d_masks = tuple(jnp.zeros_like(m) for m in masks)
     return (d_params, d_keys, d_values, d_masks,
-            jnp.zeros_like(teacher_flat), jnp.zeros_like(seed_f))
+            jnp.zeros_like(teacher_flat), jnp.zeros_like(seed_f),
+            d_spk.astype(spk.dtype))
 
 
 _fused_scan_core.defvjp(_core_fwd, _core_bwd)
@@ -870,6 +895,7 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                        zc_dec: float, zo_dec: float,
                        deterministic: bool,
                        compute_dtype: str = "float32",
+                       p_dropout=None, speaker_row=None,
                        interpret: bool = None) -> Array:
     """Run the teacher-forced RNN trunk as fused fwd/bwd kernels.
 
@@ -945,9 +971,13 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
         jnp.moveaxis(teacher_xs, 0, 1).astype(jnp.float32), cfp
     ).reshape(T_steps * B, cfp)
 
+    if p_dropout is None:
+        p_dropout = (True,) * len(p_sizes)
     spec = TrainSpec(batch=B, num_steps=T_steps, cf=cfp,
                      num_sources=len(keys), t_mem=T_mem,
                      u_sizes=up, c_sizes=cp, p_sizes=p_sizes,
+                     p_dropout=tuple(bool(f) for f in p_dropout),
+                     use_spk=speaker_row is not None,
                      a_units=A, d_units=D, drop_rate=float(drop_rate),
                      zc_att=float(zc_att), zo_att=float(zo_att),
                      zc_dec=float(zc_dec), zo_dec=float(zo_dec),
@@ -956,6 +986,8 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                      interpret=bool(interpret))
     seed_f = (jnp.asarray(seed, jnp.int32) % jnp.int32(1 << 23)
               ).astype(jnp.float32)
+    spk = (jnp.zeros((B, p_sizes[0]), jnp.float32) if speaker_row is None
+           else jnp.asarray(speaker_row, jnp.float32))
     y_flat = _fused_scan_core(spec, params_p, keys_p, values_p, masks_p,
-                              teacher_flat, seed_f)
+                              teacher_flat, seed_f, spk)
     return jnp.moveaxis(y_flat.reshape(T_steps, B, D), 0, 1)

@@ -140,3 +140,18 @@ def test_fused_fallback_unsupported():
                       rngs={"dropout": jax.random.PRNGKey(3)})
     assert out.outputs.shape[0] == 2
     assert np.isfinite(np.asarray(out.outputs)).all()
+
+
+def test_fused_matches_scan_speaker_prenet():
+    """MultiSpeakerPreNet conditioning (reference:
+    modules/multi_speaker_modules.py:11-35): the per-utterance softsign
+    speaker row rides the fused kernel as one operand."""
+    ref, fused = _infer_pair({"use_speaker_embedding": True,
+                              "num_speakers": 3})
+    _assert_close(ref, fused)
+
+
+def test_fused_matches_scan_speaker_prenet_batched():
+    ref, fused = _infer_pair({"use_speaker_embedding": True,
+                              "num_speakers": 3}, B=3)
+    _assert_close(ref, fused, check_aligns=False)

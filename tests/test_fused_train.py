@@ -347,3 +347,59 @@ def test_divergent_row_energies_stay_finite():
         p_, keys, values, masks, teacher, jnp.int32(0), **FUSED_KW) ** 2))(p)
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_decoder_fused_train_speaker_matches_scan():
+    """Speaker-conditioned (MultiSpeakerPreNet) fused training: forward,
+    loss, and every gradient — including the speaker projection and the
+    speaker embedding, which flow through the kernel's d_speaker_row
+    cotangent — equal the nn.scan path."""
+    from self_attention_tacotron_tpu.models import (DecoderMode,
+                                                    tacotron_model_factory,
+                                                    compute_loss)
+    from test_tacotron_model import make_batch, tiny_hp
+
+    kw = dict(encoder_prenet_drop_rate=0.0, decoder_prenet_drop_rate=0.0,
+              self_attention_drop_rate=0.0,
+              decoder_self_attention_drop_rate=0.0,
+              zoneout_factor_cell=0.0, zoneout_factor_output=0.0,
+              use_speaker_embedding=True, num_speakers=3)
+    hp = tiny_hp(**kw)
+    hp_f = tiny_hp(decoder_fused_train=True, **kw)
+    batch = make_batch(hp, B=2, T_in=7, T_out=6)
+    batch = batch._replace(speaker_id=jnp.array([0, 2], jnp.int32))
+    model = tacotron_model_factory(hp)
+    model_f = tacotron_model_factory(hp_f)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           DecoderMode.VALIDATION, True)
+
+    def loss(m, v):
+        rngs = {"dropout": jax.random.PRNGKey(1),
+                "zoneout": jax.random.PRNGKey(2)}
+        out, _ = m.apply(v, batch, DecoderMode.TRAIN, rngs=rngs,
+                         mutable=["batch_stats"])
+        return compute_loss(hp, out, batch, v["params"])["loss"], out
+
+    (l_ref, out_ref), g_ref = jax.value_and_grad(
+        lambda v: loss(model, v), has_aux=True)(variables)
+    (l_f, out_f), g_f = jax.value_and_grad(
+        lambda v: loss(model_f, v), has_aux=True)(variables)
+
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f.outputs),
+                               np.asarray(out_ref.outputs),
+                               rtol=2e-4, atol=2e-5)
+    leaves_f = jax.tree_util.tree_leaves_with_path(g_f)
+    leaves_r = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    assert leaves_r, "no reference gradient leaves"
+    spk_leaves = 0
+    for path, a in leaves_f:
+        b = leaves_r[path]
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5, err_msg=name)
+        if "speaker" in name:
+            spk_leaves += 1
+            assert float(np.max(np.abs(np.asarray(b)))) > 0, name
+    # the speaker embedding AND the prenet speaker projection got gradients
+    assert spk_leaves >= 3
