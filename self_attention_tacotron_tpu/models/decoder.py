@@ -659,11 +659,25 @@ class TacotronDecoder(nn.Module):
             return "inference-time prenet dropout is not fused"
         if teacher_alignments is not None:
             return "forced-alignment replay is not fused"
-        if not all(isinstance(m, AdditiveAttention)
-                   for m in self.attention_mechanisms):
-            return ("non-additive attention mechanism(s): "
-                    + ", ".join(type(m).__name__
-                                for m in self.attention_mechanisms))
+        from .attention import ForwardAttention, LocationSensitiveAttention
+        for m in self.attention_mechanisms:
+            if isinstance(m, AdditiveAttention):
+                continue
+            if isinstance(m, (ForwardAttention, LocationSensitiveAttention)):
+                if B != 1:
+                    return ("location/forward attention is fused for the "
+                            f"batch-1 latency path only (batch {B})")
+                if getattr(m, "smoothing", False):
+                    return "sigmoid-smoothing attention is not fused"
+                if getattr(m, "use_transition_agent", False):
+                    return "the forward-attention transition agent is not fused"
+                continue
+            return ("unsupported attention mechanism: " + type(m).__name__)
+        loc_kernels = {m.attention_kernel for m in self.attention_mechanisms
+                       if isinstance(m, (ForwardAttention,
+                                         LocationSensitiveAttention))}
+        if len(loc_kernels) > 1:
+            return "mixed location-conv kernel sizes are not fused"
         return None
 
     def _fused_prenet_params(self, prenet_p, speaker_embed):
@@ -695,6 +709,48 @@ class TacotronDecoder(nn.Module):
             layers.append((lp["dense"]["kernel"], row(lp["dense"]["bias"])))
         return tuple(layers), speaker_row
 
+    def _fused_attention_params(self):
+        """Per-source attention weights for the fused decode kernel.
+
+        Returns (query, kinds, cumulative, loc_ws, key_folds): the
+        (Wq, v) pairs; the kind string per source; the cumulative-weights
+        flags; the merged (K, U) conv*location-dense products for
+        location-based sources; and the constant (U,) rows — attention
+        bias plus conv-bias*location-dense — to fold into the KEYS
+        (reference: modules/forward_attention.py:48-86 location-sensitive
+        energy)."""
+        from .attention import (AdditiveAttention, ForwardAttention,
+                                LocationSensitiveAttention)
+
+        def p(module):
+            return module.variables["params"]
+
+        query, kinds, cum, loc_ws, folds = [], [], [], [], []
+        for m in self.attention_mechanisms:
+            mp = p(m)
+            if isinstance(m, AdditiveAttention):
+                query.append((mp["query_layer"]["kernel"],
+                              jnp.transpose(mp["attention_v"])))
+                kinds.append("additive")
+                cum.append(False)
+                loc_ws.append(None)
+                folds.append(None)
+                continue
+            assert isinstance(m, (ForwardAttention,
+                                  LocationSensitiveAttention)), type(m)
+            query.append((mp["query_layer"]["kernel"],
+                          jnp.transpose(mp["attention_variable"])))
+            kinds.append("forward" if isinstance(m, ForwardAttention)
+                         else "location_sensitive")
+            cum.append(bool(m.cumulative_weights))
+            conv_k = mp["location_convolution"]["kernel"]   # (K, 1, F)
+            conv_b = mp["location_convolution"]["bias"]     # (F,)
+            w_loc = mp["location_layer"]["kernel"]          # (F, U)
+            K = conv_k.shape[0]
+            loc_ws.append(conv_k.reshape(K, -1) @ w_loc)    # (K, U)
+            folds.append(mp["attention_bias"] + conv_b @ w_loc)
+        return tuple(query), tuple(kinds), tuple(cum), loc_ws, folds
+
     def _fused_prenet_dropout(self):
         """Per-flattened-layer dropout flags: MultiSpeakerPreNet's dense0
         has NO dropout; every other dense is followed by one."""
@@ -722,9 +778,8 @@ class TacotronDecoder(nn.Module):
         prenet, speaker_row = self._fused_prenet_params(prenet_p,
                                                         speaker_embed)
         al = p(self.attention_lstm)
-        query = tuple(
-            (p(m)["query_layer"]["kernel"], jnp.transpose(p(m)["attention_v"]))
-            for m in self.attention_mechanisms)
+        query, src_kinds, cumulative, loc_ws, key_folds = \
+            self._fused_attention_params()
         op = p(self.output_projection_wrapper)
         l1, l2 = p(self.decoder_lstm1), p(self.decoder_lstm2)
         hops = []
@@ -745,9 +800,10 @@ class TacotronDecoder(nn.Module):
             query=query, outproj=(op["kernel"], row(op["bias"])),
             lstm1=(l1["kernel"], row(l1["bias"])),
             lstm2=(l2["kernel"], row(l2["bias"])),
-            hops=tuple(hops), head=(w_os, b_os))
+            hops=tuple(hops), head=(w_os, b_os), loc=tuple(loc_ws))
         memory = fd.FusedDecodeMemory(
-            keys=tuple(pk.keys for pk in packs),
+            keys=tuple(pk.keys if fold is None else pk.keys + fold
+                       for pk, fold in zip(packs, key_folds)),
             values=tuple(pk.values for pk in packs),
             masks=tuple(pk.mask.astype(jnp.float32) for pk in packs))
         zc_dec = (self.zoneout_factor_cell if self.decoder_version == "v2"
@@ -765,7 +821,10 @@ class TacotronDecoder(nn.Module):
             early_stop=self.early_stop, min_iters=self.min_iters,
             compute_dtype=(jnp.bfloat16 if self.fused_dtype == "bfloat16"
                            else jnp.float32),
-            speaker_row=speaker_row)
+            speaker_row=speaker_row, src_kinds=src_kinds,
+            cumulative=cumulative,
+            loc_kernel=max([getattr(m, "attention_kernel", 1)
+                            for m in self.attention_mechanisms]))
 
         # lengths: same stop-token semantics as the scan path, recovered
         # post-hoc from the emitted stop logits — per-row first-fire step

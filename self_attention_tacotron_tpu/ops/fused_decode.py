@@ -51,7 +51,7 @@ with a linear-cost, single-kernel loop.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,6 +76,11 @@ class FusedDecodeParams(NamedTuple):
     hops: Tuple[Tuple[Array, ...], ...]       # per hop (Wk,bk,Wv,bv,Wq,bq,
     #                                           Wo,bo,Wt,bt)
     head: Tuple[Array, Array]                 # (D, Cr+1), (1, Cr+1)
+    # per source: merged location weights (K, U_i) = conv_kernel @ loc_dense
+    # for location_sensitive / forward attention, else None.  The attention
+    # bias and conv-bias*loc_dense rows are folded into the KEYS by the
+    # caller (they are constant over decode steps).
+    loc: Tuple[Optional[Array], ...] = ()
 
 
 class FusedDecodeMemory(NamedTuple):
@@ -178,6 +183,9 @@ def _kernel(spec: dict, *refs):
         values_cat = next(it)         # (T, sum C_i)
         mask_rows = next(it)          # (ns, T) float {1, 0}
         ctx_mask = next(it)           # (ns, sum C_i) block-i-on-row-i {1, 0}
+        # location-based sources (location_sensitive / forward): the merged
+        # conv*location-dense product (K, U_i); biases are folded into keys
+        loc_ws = [next(it) if k != 0 else None for k in spec["src_kinds"]]
         mem = []
     else:
         # keys (B*T,U), values (B*T,C), mask (B*T,1), indicator (B*T,B)
@@ -240,8 +248,28 @@ def _kernel(spec: dict, *refs):
                  // head_dim) == jax.lax.broadcasted_iota(
                      jnp.int32, (n_heads, D), 0)
 
+    kinds = spec["src_kinds"]
+    has_loc = row_mode and any(k != 0 for k in kinds)
+    u_sizes = spec["u_sizes"]
+    loc_k = spec["loc_kernel"]
+    loc_pad = (loc_k - 1) // 2           # flax Conv SAME, cross-correlation
+
+    def _shift_row(a, d, T):
+        """a (n, T) shifted so out[:, t] = a[:, t + d], zero-filled edges."""
+        if d == 0:
+            return a
+        if d > 0:
+            return jnp.concatenate(
+                [a[:, d:], jnp.zeros((a.shape[0], d), a.dtype)], axis=1)
+        return jnp.concatenate(
+            [jnp.zeros((a.shape[0], -d), a.dtype), a[:, :T + d]], axis=1)
+
     def body(t, carry):
-        (p0_pre, prev_ctx, h_att, c_att, h1, c1, h2, c2) = carry
+        if has_loc:
+            (p0_pre, prev_ctx, h_att, c_att, h1, c1, h2, c2,
+             conv_rows, alpha_rows) = carry
+        else:
+            (p0_pre, prev_ctx, h_att, c_att, h1, c1, h2, c2) = carry
 
         # prenet stack: Dense + ReLU (inference: no dropout).  The FIRST
         # layer's matmul was merged into the previous step's head matmul
@@ -269,7 +297,27 @@ def _kernel(spec: dict, *refs):
                 query_all[...].astype(f32), h_att,
                 dimension_numbers=(((0,), (1,)), ((), ())),
                 preferred_element_type=f32)                # (sumU, 1)
-            e_T = jnp.tanh(keys_T[...].astype(f32) + pq_T)  # (sumU, T)
+            pre_T = keys_T[...].astype(f32) + pq_T          # (sumU, T)
+            if has_loc:
+                # location features: conv(prev alignments) * location dense
+                # collapses to ONE (U_i, T) matmul against K statically
+                # shifted copies of the (1, T) conv-input row
+                T = pre_T.shape[1]
+                blocks = []
+                for i, kind in enumerate(kinds):
+                    if kind == 0:
+                        blocks.append(jnp.zeros((u_sizes[i], T), f32))
+                        continue
+                    a_row = conv_rows[i:i + 1]              # (1, T)
+                    win = jnp.concatenate(
+                        [_shift_row(a_row, k - loc_pad, T)
+                         for k in range(loc_k)], axis=0)    # (K, T)
+                    blocks.append(jax.lax.dot_general(
+                        loc_ws[i][...].astype(f32), win,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=f32))        # (U_i, T)
+                pre_T = pre_T + jnp.concatenate(blocks, axis=0)
+            e_T = jnp.tanh(pre_T)                           # (sumU, T)
             e_rows = jax.lax.dot_general(
                 v_bd[...].astype(f32), e_T,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -278,6 +326,30 @@ def _kernel(spec: dict, *refs):
             m = jnp.max(e_rows, axis=1, keepdims=True)
             ex = jnp.exp(e_rows - m)
             a_rows = ex / jnp.sum(ex, axis=1, keepdims=True)   # (ns, T)
+            if has_loc:
+                # forward-attention recursion (reference:
+                # modules/forward_attention.py:105-122) and per-source
+                # conv-input/alignment state updates.  The transition agent
+                # is gated out, so u is the 0.5 initial value forever.
+                T = a_rows.shape[1]
+                out_rows, new_alpha, new_conv = [], [], []
+                for i, kind in enumerate(kinds):
+                    a_i = a_rows[i:i + 1]
+                    if kind == 2:
+                        ap = alpha_rows[i:i + 1]
+                        sh = _shift_row(ap, -1, T)          # alpha[t-1]
+                        al = (0.5 * ap + 0.5 * sh + 1e-7) * a_i
+                        al = al / jnp.sum(al, axis=1, keepdims=True)
+                        out_rows.append(al)
+                        new_alpha.append(al)
+                    else:
+                        out_rows.append(a_i)
+                        new_alpha.append(a_i)
+                    new_conv.append((conv_rows[i:i + 1] + a_i)
+                                    if spec["cumulative"][i] else a_i)
+                a_rows = jnp.concatenate(out_rows, axis=0)
+                conv_rows = jnp.concatenate(new_conv, axis=0)
+                alpha_rows = jnp.concatenate(new_alpha, axis=0)
             if mat_aligns:
                 # both sources' rows land in ONE store
                 align_refs[0][pl.ds(t * ns, ns), :] = \
@@ -398,6 +470,9 @@ def _kernel(spec: dict, *refs):
 
         p0_next = row[:, head_pad:]
         stop_col = row[:, cr:cr + 1]
+        if has_loc:
+            return (p0_next, ctx, h_att, c_att, h1, c1, h2, c2,
+                    conv_rows, alpha_rows), stop_col
         return (p0_next, ctx, h_att, c_att, h1, c1, h2, c2), stop_col
 
     zeros = lambda n: jnp.zeros((B, n), f32)
@@ -408,6 +483,16 @@ def _kernel(spec: dict, *refs):
                             (B, p0_init.shape[1]))
     carry0 = (p0_0, zeros(cctx), zeros(A), zeros(A),
               zeros(D), zeros(D), zeros(D), zeros(D))
+    if has_loc:
+        T0 = keys_T.shape[1]
+        # alpha init [1, 0, ...] for forward sources (reference:
+        # forward_attention.py initial_alignments); conv input starts zero
+        onehot0 = (jax.lax.broadcasted_iota(jnp.int32, (1, T0), 1)
+                   == 0).astype(f32)
+        alpha0 = jnp.concatenate(
+            [onehot0 if k == 2 else jnp.zeros((1, T0), f32)
+             for k in kinds], axis=0)
+        carry0 = carry0 + (jnp.zeros((ns, T0), f32), alpha0)
     if spec["early_stop"]:
         # dynamic_decode-style early exit: a while_loop that stops once
         # EVERY batch row's stop token has fired (sigmoid > 0.5 past
@@ -472,7 +557,9 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                  dec_zoneout_cell: float = 0.0, dec_zoneout_output: float = 0.0,
                  early_stop: bool = False, min_iters: int = 10,
                  compute_dtype=jnp.float32, interpret: bool = None,
-                 speaker_row=None):
+                 speaker_row=None, src_kinds: Tuple[str, ...] = None,
+                 cumulative: Tuple[bool, ...] = None,
+                 loc_kernel: int = 31):
     """Run the whole inference loop in one kernel.
 
     Returns (out (B, S, num_mels*r), stop (B, S), aligns tuple of
@@ -489,6 +576,13 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     cr = num_mels * outputs_per_step
     cf = num_mels * n_feed_frame
     mat_aligns = B == 1
+    kind_ids = {"additive": 0, "location_sensitive": 1, "forward": 2}
+    src_kinds = tuple(kind_ids[k] for k in
+                      (src_kinds or ("additive",) * len(memory.keys)))
+    cumulative = tuple(cumulative or (False,) * len(memory.keys))
+    assert all(k == 0 for k in src_kinds) or B == 1, \
+        "location/forward attention is fused for batch 1 only"
+    u_sizes = tuple(int(vq.shape[0]) for _, vq in params.query)
 
     # B == 1 runs the row-oriented latency path (see _kernel): requires all
     # sources to share one memory length (always true — dual-source
@@ -504,7 +598,9 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                 zc_dec=float(dec_zoneout_cell),
                 zo_dec=float(dec_zoneout_output),
                 early_stop=bool(early_stop), min_iters=int(min_iters),
-                use_spk=speaker_row is not None)
+                use_spk=speaker_row is not None,
+                src_kinds=src_kinds, cumulative=cumulative,
+                loc_kernel=int(loc_kernel), u_sizes=u_sizes)
 
     def w(x):
         return jnp.asarray(x, cdt)
@@ -519,7 +615,6 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
         # concatenated values, stacked mask rows
         keys_T = jnp.concatenate(
             [jnp.transpose(k[0]) for k in memory.keys], axis=0)  # (sumU, T)
-        u_sizes = [int(vq.shape[0]) for _, vq in params.query]
         v_bd = np.zeros((sum(u_sizes), len(u_sizes)), np.float32)
         off = 0
         v_bd = jnp.asarray(v_bd)
@@ -538,6 +633,9 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
             c_off += c
         ins += [w(keys_T), w(v_bd), w(values_cat),
                 jnp.asarray(mask_rows, jnp.float32), jnp.asarray(ctx_mask)]
+        for i, k in enumerate(src_kinds):
+            if k != 0:
+                ins += [w(params.loc[i])]
     else:
         for k, v, m in zip(memory.keys, memory.values, memory.masks):
             T = int(k.shape[1])

@@ -155,3 +155,41 @@ def test_fused_matches_scan_speaker_prenet_batched():
     ref, fused = _infer_pair({"use_speaker_embedding": True,
                               "num_speakers": 3}, B=3)
     _assert_close(ref, fused, check_aligns=False)
+
+
+def test_fused_matches_scan_forward_attention():
+    """ForwardAttention source (the shipped flagship recipes' setting,
+    reference: examples/*/self-attention-tacotron.json attention=forward):
+    location conv + forward recursion fused in row mode."""
+    ref, fused = _infer_pair({"attention": "forward",
+                              "cumulative_weights": False,
+                              "attention_kernel": 10,
+                              "attention_filters": 5})
+    _assert_close(ref, fused)
+
+
+def test_fused_matches_scan_location_sensitive_cumulative():
+    ref, fused = _infer_pair({"attention": "location_sensitive",
+                              "cumulative_weights": True,
+                              "attention_kernel": 7,
+                              "attention_filters": 4})
+    _assert_close(ref, fused)
+
+
+def test_fused_forward_attention_falls_back_batched():
+    """Batched location/forward attention uses the scan path (logged)."""
+    ref, fused = _infer_pair({"attention": "forward"}, B=2)
+    _assert_close(ref, fused, check_aligns=False)
+
+
+def test_fused_matches_scan_vctk_flagship_shape():
+    """The full VCTK recipe feature set at tiny dims: forward attention +
+    speaker-conditioned prenet + zoneout decoder v2 + r=2."""
+    ref, fused = _infer_pair({
+        "attention": "forward", "cumulative_weights": False,
+        "attention_kernel": 10, "attention_filters": 5,
+        "use_speaker_embedding": True, "num_speakers": 3,
+        "decoder_version": "v2", "zoneout_factor_cell": 0.1,
+        "zoneout_factor_output": 0.1, "outputs_per_step": 2,
+        "max_iters": 4})
+    _assert_close(ref, fused)
