@@ -103,7 +103,6 @@ def main():
         ("fused-f32", {}, {}, None),
         ("fused-bf16", {"decoder_fused_dtype": "bfloat16"}, {}, None),
         ("fixed-cost", {"max_iters": 2}, {}, None),
-        ("round2-kernel", {}, {}, "/tmp/fused_decode_old.py"),
     ]
     runners = [(name, build(kw, env, patch))
                for name, kw, env, patch in variants

@@ -444,13 +444,9 @@ class TacotronDecoder(nn.Module):
             reason = f"output_kind={self.output_kind!r} is not fused"
         elif any(p.teacher_alignments is not None for p in packs):
             reason = "forced-alignment replay is not fused"
-        elif not all(isinstance(m, AdditiveAttention)
-                     for m in self.attention_mechanisms):
-            reason = ("non-additive attention mechanism(s): "
-                      + ", ".join(type(m).__name__
-                                  for m in self.attention_mechanisms))
         elif len({int(p.values.shape[1]) for p in packs}) != 1:
             reason = "sources with different memory lengths"
+
         elif on_tpu and B % 8 != 0:
             reason = f"batch {B} is not a multiple of 8 (sublane tiling)"
         elif on_tpu and any(
@@ -459,6 +455,8 @@ class TacotronDecoder(nn.Module):
                                   *self.prenet_out_units)):
             reason = ("attention/decoder/prenet units must be multiples of "
                       "128 on TPU (the flagship's 256/256/(256,128) are)")
+        if reason is None:
+            reason = self._fused_attention_unsupported_reason()
         if reason is None:
             xs = (teacher_xs[0] if isinstance(teacher_xs, (tuple, list))
                   else teacher_xs)
@@ -499,9 +497,8 @@ class TacotronDecoder(nn.Module):
         prenet, speaker_row = self._fused_prenet_params(prenet_p,
                                                         speaker_embed)
         al = p(self.attention_lstm)
-        query = tuple(
-            (p(m)["query_layer"]["kernel"], jnp.transpose(p(m)["attention_v"]))
-            for m in self.attention_mechanisms)
+        query, src_kinds, cumulative, loc_ws, key_folds = \
+            self._fused_attention_params()
         op = p(self.output_projection_wrapper)
         l1, l2 = p(self.decoder_lstm1), p(self.decoder_lstm2)
         params = ft.FusedTrainParams(
@@ -511,7 +508,8 @@ class TacotronDecoder(nn.Module):
             outproj=(op["kernel"], op["bias"].reshape(1, -1)),
             lstm1=(l1["kernel"], l1["bias"].reshape(1, -1)),
             lstm2=(l2["kernel"], l2["bias"].reshape(1, -1)))
-        keys = tuple(pk.keys for pk in packs)
+        keys = tuple(pk.keys if fold is None else pk.keys + fold
+                     for pk, fold in zip(packs, key_folds))
         values = tuple(pk.values for pk in packs)
         masks = tuple(pk.mask.astype(jnp.float32) for pk in packs)
         seed = jax.random.randint(self.make_rng("dropout"), (), 0, 1 << 23,
@@ -528,7 +526,10 @@ class TacotronDecoder(nn.Module):
             zc_dec=zc_dec, zo_dec=zo_dec, deterministic=False,
             compute_dtype=self.fused_train_dtype,
             p_dropout=self._fused_prenet_dropout(),
-            speaker_row=speaker_row)
+            speaker_row=speaker_row, src_kinds=src_kinds,
+            cumulative=cumulative, loc_ws=tuple(loc_ws),
+            loc_kernel=max([getattr(m, "attention_kernel", 1)
+                            for m in self.attention_mechanisms]))
         T_steps = teacher_xs.shape[1]
         aligns = tuple(jnp.zeros((B, T_steps, pk.values.shape[1]), self.dtype)
                        for pk in packs)
@@ -660,25 +661,12 @@ class TacotronDecoder(nn.Module):
         if teacher_alignments is not None:
             return "forced-alignment replay is not fused"
         from .attention import ForwardAttention, LocationSensitiveAttention
-        for m in self.attention_mechanisms:
-            if isinstance(m, AdditiveAttention):
-                continue
-            if isinstance(m, (ForwardAttention, LocationSensitiveAttention)):
-                if B != 1:
-                    return ("location/forward attention is fused for the "
-                            f"batch-1 latency path only (batch {B})")
-                if getattr(m, "smoothing", False):
-                    return "sigmoid-smoothing attention is not fused"
-                if getattr(m, "use_transition_agent", False):
-                    return "the forward-attention transition agent is not fused"
-                continue
-            return ("unsupported attention mechanism: " + type(m).__name__)
-        loc_kernels = {m.attention_kernel for m in self.attention_mechanisms
-                       if isinstance(m, (ForwardAttention,
-                                         LocationSensitiveAttention))}
-        if len(loc_kernels) > 1:
-            return "mixed location-conv kernel sizes are not fused"
-        return None
+        if B != 1 and any(
+                isinstance(m, (ForwardAttention, LocationSensitiveAttention))
+                for m in self.attention_mechanisms):
+            return ("location/forward attention is fused for the "
+                    f"batch-1 latency path only (batch {B})")
+        return self._fused_attention_unsupported_reason()
 
     def _fused_prenet_params(self, prenet_p, speaker_embed):
         """Flatten the prenet stack into dense (W, b-row) pairs for the
@@ -708,6 +696,29 @@ class TacotronDecoder(nn.Module):
                 speaker_row = jax.nn.soft_sign(s)
             layers.append((lp["dense"]["kernel"], row(lp["dense"]["bias"])))
         return tuple(layers), speaker_row
+
+    def _fused_attention_unsupported_reason(self):
+        """Mechanism checks shared by the fused train and (batched-batch
+        aside) inference gates."""
+        from .attention import (AdditiveAttention, ForwardAttention,
+                                LocationSensitiveAttention)
+        for m in self.attention_mechanisms:
+            if isinstance(m, AdditiveAttention):
+                continue
+            if isinstance(m, (ForwardAttention, LocationSensitiveAttention)):
+                if getattr(m, "smoothing", False):
+                    return "sigmoid-smoothing attention is not fused"
+                if getattr(m, "use_transition_agent", False):
+                    return ("the forward-attention transition agent is "
+                            "not fused")
+                continue
+            return "unsupported attention mechanism: " + type(m).__name__
+        loc_kernels = {m.attention_kernel for m in self.attention_mechanisms
+                       if isinstance(m, (ForwardAttention,
+                                         LocationSensitiveAttention))}
+        if len(loc_kernels) > 1:
+            return "mixed location-conv kernel sizes are not fused"
+        return None
 
     def _fused_attention_params(self):
         """Per-source attention weights for the fused decode kernel.

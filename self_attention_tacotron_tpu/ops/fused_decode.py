@@ -258,6 +258,8 @@ def _kernel(spec: dict, *refs):
         """a (n, T) shifted so out[:, t] = a[:, t + d], zero-filled edges."""
         if d == 0:
             return a
+        if abs(d) >= T:  # conv kernel wider than the memory
+            return jnp.zeros_like(a)
         if d > 0:
             return jnp.concatenate(
                 [a[:, d:], jnp.zeros((a.shape[0], d), a.dtype)], axis=1)

@@ -74,6 +74,10 @@ class TrainSpec(NamedTuple):
     p_dropout: Tuple[bool, ...]   # dropout-after flag per prenet layer
     #                               (MultiSpeakerPreNet's dense0 has none)
     use_spk: bool                 # add a (B, P0) speaker row after layer 0
+    src_kinds: Tuple[int, ...]    # 0 additive | 1 location_sensitive |
+    #                               2 forward, per source
+    cumulative: Tuple[bool, ...]  # cumulative-weights conv input per source
+    loc_kernel: int               # location conv taps K
     a_units: int                  # attention-RNN units A
     d_units: int                  # decoder-RNN units D
     drop_rate: float
@@ -134,7 +138,8 @@ def estimate_vmem_bytes(*, batch: int, num_steps: int, t_mem: int, cf: int,
                      t_mem=T, u_sizes=tuple(up), c_sizes=tuple(cp),
                      p_sizes=tuple(p_sizes),
                      p_dropout=(True,) * len(p_sizes), use_spk=False,
-                     a_units=A, d_units=D,
+                     src_kinds=(0,) * len(up), cumulative=(False,) * len(up),
+                     loc_kernel=31, a_units=A, d_units=D,
                      drop_rate=0.0, zc_att=0.0, zo_att=0.0, zc_dec=0.0,
                      zo_dec=0.0, deterministic=True,
                      compute_dtype=compute_dtype, interpret=False)
@@ -155,6 +160,43 @@ def estimate_vmem_bytes(*, batch: int, num_steps: int, t_mem: int, cf: int,
            + 3 * B * w_save * 4 + B * cfp * 4)            # rows3 + x scratch
     temps = B * T * (max(up) + max(cp) + 2 * B + 8) * 4   # softmax matrices
     return bwd + temps
+
+def _pos_col(B, T):
+    """(B*T, 1) int32: within-block position of each flattened row."""
+    return jax.lax.broadcasted_iota(jnp.int32, (B * T, 1), 0) % T
+
+
+def _shift_col(x, d: int):
+    """out[r] = x[r + d] over the flattened rows, zero-filled edges.
+    Callers apply the block-boundary mask from _shift_mask."""
+    if d == 0:
+        return x
+    n = x.shape[0]
+    if abs(d) >= n:  # conv kernel wider than the whole flattened column
+        return jnp.zeros_like(x)
+    if d > 0:
+        return jnp.concatenate(
+            [x[d:], jnp.zeros((d, x.shape[1]), x.dtype)], axis=0)
+    return jnp.concatenate(
+        [jnp.zeros((-d, x.shape[1]), x.dtype), x[:n + d]], axis=0)
+
+
+def _shift_mask(pos, d: int, T: int):
+    """1.0 where row r's within-block source position r+d stays inside
+    its utterance block."""
+    q = pos + d
+    return ((q >= 0) & (q < T)).astype(jnp.float32)
+
+
+def _loc_windows(cv, pos, K: int, T: int):
+    """(B*T, K) conv-input windows: column k holds cv shifted by
+    k - (K-1)//2 with block-crossing rows zeroed — the location conv as
+    ONE (B*T, K) @ (K, U) matmul (flax SAME cross-correlation)."""
+    pad = (K - 1) // 2
+    cols = [_shift_col(cv, k - pad) * _shift_mask(pos, k - pad, T)
+            for k in range(K)]
+    return jnp.concatenate(cols, axis=1)
+
 
 def _seed_step(seed_ref, t):
     # distinct, deterministic stream per step; fwd and bwd call this with
@@ -271,12 +313,17 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     ns = spec.num_sources
     sumC = sum(spec.c_sizes)
     f32 = jnp.float32
+    kinds = spec.src_kinds
+    n_loc = sum(1 for k in kinds if k != 0)
+    loc_lane = {i: 2 * j for j, i in enumerate(
+        i for i, k in enumerate(kinds) if k != 0)}
 
     it = iter(refs)
     mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
     seed_ref = next(it)
     teacher_hbm = next(it)                       # (S*B, cf) in HBM
     spk = next(it)                               # (B, P0) speaker row
+    loc_ws = [next(it) if k != 0 else None for k in kinds]  # (K, U_i)
     prenet = [(next(it), next(it)) for _ in spec.p_sizes]
     att_lstm = (next(it), next(it))
     query_all = next(it)
@@ -286,20 +333,33 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     lstm2 = (next(it), next(it))
     y_out = next(it)                             # (S*B, D) VMEM output
     save_hbm = next(it)                          # (S*B, w_save) HBM output
+    aux_hbm = next(it) if n_loc else None        # (S*B*T, aux_w) HBM output:
+    #                                              per-step [alpha | conv-in]
+    #                                              columns per loc source
     x_scr = next(it)                             # (B, cf) VMEM scratch
     save_scr = next(it)                          # (2*B, w_save) VMEM scratch,
     #                                              double-buffered save slots
+    aux_scr = next(it) if n_loc else None        # (2*B*T, aux_w)
     sem_in = next(it)
     sem_out = next(it)                           # DMA sems, one per slot
+    sem_aux = next(it) if n_loc else None
     assert next(it, None) is None
+
+    BT = B * T
+    pos = _pos_col(B, T) if n_loc else None
 
     def _save_dma(t, slot_rows):
         return pltpu.make_async_copy(
             save_scr.at[pl.ds(slot_rows, B), :],
             save_hbm.at[pl.ds(t * B, B), :], sem_out.at[t % 2])
 
+    def _aux_dma(t, slot_rows):
+        return pltpu.make_async_copy(
+            aux_scr.at[pl.ds(slot_rows, BT), :],
+            aux_hbm.at[pl.ds(t * BT, BT), :], sem_aux.at[t % 2])
+
     def body(t, carry):
-        c_att, h_att, c1, h1, c2, h2, prev_ctx = carry
+        c_att, h_att, c1, h1, c2, h2, prev_ctx, cv_st, alpha_st = carry
         slot_rows = (t % 2) * B
 
         # the DMA that used this save slot (step t-2) must have drained
@@ -307,10 +367,16 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
         @pl.when(t >= 2)
         def _():
             _save_dma(t - 2, slot_rows).wait()
+            if n_loc:
+                _aux_dma(t - 2, (t % 2) * BT).wait()
 
         def put(name, value):
             off, w = offsets[name]
             save_scr[pl.ds(slot_rows, B), off:off + w] = value.astype(f32)
+
+        def put_aux(lane, value):
+            aux_scr[pl.ds((t % 2) * BT, BT), lane:lane + 1] = \
+                value.astype(f32)
 
         # teacher input for this step: HBM -> VMEM
         cp_in = pltpu.make_async_copy(
@@ -349,21 +415,44 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
         put("c_att", c_att_new)
         put("h_att", h_att_new)
 
-        # additive attention per source (batched indicator form, identical
-        # math to the inference kernel's B>1 path)
+        # attention per source (batched indicator form, identical math to
+        # the inference kernel's B>1 path).  Location-based sources add the
+        # conv*location-dense matmul; forward sources run the forward
+        # recursion (reference: modules/forward_attention.py:105-122) with
+        # u fixed at its 0.5 init (transition agent gated out)
         pq_all = _mm(h_att_new, query_all[...])
         ctxs = []
+        new_cv, new_alpha = list(cv_st), list(alpha_st)
         u_off = 0
-        for (keys_ref, values_ref, mask_ref, ind_ref), v_ref, u in \
-                zip(mem, vs, spec.u_sizes):
+        for si_, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref, u) in \
+                enumerate(zip(mem, vs, spec.u_sizes)):
+            kind = kinds[si_]
             ind = ind_ref[...].astype(f32)
             pq = _mm(ind, pq_all[:, u_off:u_off + u])
             u_off += u
-            e = jnp.tanh(keys_ref[...].astype(f32) + pq)
+            pre = keys_ref[...].astype(f32) + pq
+            if kind != 0:
+                cv = cv_st[si_]
+                win = _loc_windows(cv, pos, spec.loc_kernel, T)
+                pre = pre + _mm(win, loc_ws[si_][...])
+            e = jnp.tanh(pre)
             e_col = _mm(e, v_ref[...])
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
             a_col = _block_softmax_col(e_col, ind)
-            ctxs.append(_mm_tA(ind, a_col * values_ref[...].astype(f32)))
+            if kind == 2:
+                ap = alpha_st[si_]
+                sh = _shift_col(ap, -1) * _shift_mask(pos, -1, T)
+                z = (0.5 * ap + 0.5 * sh + 1e-7) * a_col
+                w_col = z / _mm(ind, _mm_tA(ind, z))
+            else:
+                w_col = a_col
+            ctxs.append(_mm_tA(ind, w_col * values_ref[...].astype(f32)))
+            if kind != 0:
+                put_aux(loc_lane[si_], w_col)
+                put_aux(loc_lane[si_] + 1, cv_st[si_])
+                new_cv[si_] = (a_col + cv_st[si_]
+                               if spec.cumulative[si_] else a_col)
+                new_alpha[si_] = w_col
         ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
         put("ctx", ctx)
 
@@ -401,15 +490,29 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
         y_out[pl.ds(t * B, B), :] = y.astype(y_out.dtype)
         # fire-and-continue: the copy overlaps the next step's compute
         _save_dma(t, slot_rows).start()
-        return (c_att_new, h_att_new, c1_new, h1_new, c2_new, h2_new, ctx)
+        if n_loc:
+            _aux_dma(t, (t % 2) * BT).start()
+        return (c_att_new, h_att_new, c1_new, h1_new, c2_new, h2_new, ctx,
+                tuple(new_cv), tuple(new_alpha))
 
     zeros = lambda n: jnp.zeros((B, n), f32)
+    # conv input starts zero; forward-source alpha starts [1, 0, ...] per
+    # utterance block (reference: forward_attention.py initial state)
+    cv0 = tuple(jnp.zeros((B * T, 1), f32) if k != 0 else jnp.zeros((1, 1), f32)
+                for k in kinds)
+    alpha0 = tuple(
+        (_pos_col(B, T) == 0).astype(f32) if k == 2
+        else jnp.zeros((B * T, 1), f32) if k != 0
+        else jnp.zeros((1, 1), f32)
+        for k in kinds)
     carry0 = (zeros(A), zeros(A), zeros(D), zeros(D), zeros(D), zeros(D),
-              zeros(sumC))
+              zeros(sumC), cv0, alpha0)
     jax.lax.fori_loop(0, S, body, carry0)
     # drain the last (up to two) in-flight save copies before kernel exit
     for t in range(max(S - 2, 0), S):
         _save_dma(t, (t % 2) * B).wait()
+        if n_loc:
+            _aux_dma(t, (t % 2) * BT).wait()
 
 
 # ============================================================ backward kernel
@@ -472,12 +575,18 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     n_pre = len(spec.p_sizes)
     f32 = jnp.float32
     det = spec.deterministic
+    kinds = spec.src_kinds
+    n_loc = sum(1 for k in kinds if k != 0)
+    loc_lane = {i: 2 * j for j, i in enumerate(
+        i for i, k in enumerate(kinds) if k != 0)}
+    BT = B * T
 
     it = iter(refs)
     mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
     seed_ref = next(it)
     teacher_hbm = next(it)
     spk = next(it)
+    loc_ws = [next(it) if k != 0 else None for k in kinds]
     prenet = [(next(it), next(it)) for _ in spec.p_sizes]
     att_lstm = (next(it), next(it))
     query_all = next(it)
@@ -487,6 +596,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     lstm2 = (next(it), next(it))
     g_y = next(it)                                # (S*B, D) VMEM input
     save_hbm = next(it)                           # (S*B, w_save) HBM input
+    aux_hbm = next(it) if n_loc else None         # (S*B*T, aux_w) HBM input
     # gradient outputs (VMEM accumulators)
     d_prenet = [(next(it), next(it)) for _ in spec.p_sizes]
     d_att = (next(it), next(it))
@@ -498,19 +608,32 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     d_keys_out = [next(it) for _ in range(ns)]    # (B*T, U_i)
     d_values_out = [next(it) for _ in range(ns)]  # (B*T, C_i)
     d_spk_out = next(it)                          # (B, P0)
+    d_loc_out = [next(it) if k != 0 else None for k in kinds]  # (K, U_i)
     x_scr = next(it)
     rows3 = next(it)                              # (3*B, w_save) VMEM: three
     #       rotating save-row slots — each saved row is consumed twice (as
     #       step t, then as step t+1's predecessor), so steady state needs
     #       ONE new DMA per step, prefetched a full step ahead
+    aux3 = next(it) if n_loc else None            # (3*B*T, aux_w), same
+    #                                               rotation for the
+    #                                               alignment/conv-in columns
     sem_x = next(it)
     sem_rows = next(it)                           # DMA sems, one per slot
+    sem_aux3 = next(it) if n_loc else None
     assert next(it, None) is None
+
+    pos = _pos_col(B, T) if n_loc else None
+    onehot0 = (pos == 0).astype(f32) if n_loc else None
 
     def _row_dma(row_idx, slot):
         return pltpu.make_async_copy(
             save_hbm.at[pl.ds(row_idx * B, B), :],
             rows3.at[pl.ds(slot * B, B), :], sem_rows.at[slot])
+
+    def _aux3_dma(row_idx, slot):
+        return pltpu.make_async_copy(
+            aux_hbm.at[pl.ds(row_idx * BT, BT), :],
+            aux3.at[pl.ds(slot * BT, BT), :], sem_aux3.at[slot])
 
     for w_ref, b_ref in (*d_prenet, d_att, d_outproj, d_lstm1, d_lstm2):
         w_ref[...] = jnp.zeros_like(w_ref)
@@ -518,6 +641,9 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     d_query_all[...] = jnp.zeros_like(d_query_all)
     for r in (*d_vs, *d_keys_out, *d_values_out, d_spk_out):
         r[...] = jnp.zeros_like(r)
+    for r in d_loc_out:
+        if r is not None:
+            r[...] = jnp.zeros_like(r)
 
     def get(row, name):
         off, w = offsets[name]
@@ -533,11 +659,17 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     _row_dma(S - 1, 0).start()
     if S >= 2:
         _row_dma(S - 2, 1).start()
+    if n_loc:
+        _aux3_dma(S - 1, 0).start()
+        if S >= 2:
+            _aux3_dma(S - 2, 1).start()
+        _aux3_dma(S - 1, 0).wait()
     _row_dma(S - 1, 0).wait()
 
     def body(k, carry):
         t = S - 1 - k
-        (d_c_att, d_h_att_c, d_c1, d_h1_c, d_c2, d_h2_c, d_ctx_c) = carry
+        (d_c_att, d_h_att_c, d_c1, d_h1_c, d_c2, d_h2_c, d_ctx_c,
+         dA_st, dCV_st) = carry
 
         cp_x = pltpu.make_async_copy(
             teacher_hbm.at[pl.ds(t * B, B), :], x_scr, sem_x)
@@ -548,11 +680,15 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         @pl.when(t >= 2)
         def _():
             _row_dma(t - 2, (k + 2) % 3).start()
+            if n_loc:
+                _aux3_dma(t - 2, (k + 2) % 3).start()
         masks = _step_masks(spec, seed_ref, t)
         # row t-1 (started one iteration ago, or in the prologue)
         @pl.when(t >= 1)
         def _():
             _row_dma(t - 1, (k + 1) % 3).wait()
+            if n_loc:
+                _aux3_dma(t - 1, (k + 1) % 3).wait()
         cp_x.wait()
 
         first = (t == 0)
@@ -619,28 +755,72 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         d_h_att = d_zop[:, :A]
         d_ctx_total = d_zop[:, A:] + d_ctx_c
 
-        # ---- additive attention backward (recompute e and a per source)
+        # ---- attention backward (recompute e and a per source); location
+        # sources restore their conv input (and forward sources the alpha
+        # recursion chain) from the aux save rows
+        if n_loc:
+            aux_t = aux3[pl.ds((k % 3) * BT, BT), :].astype(f32)
+            aux_p_raw = aux3[pl.ds(((k + 1) % 3) * BT, BT), :]
+            aux_p = jnp.where(first, jnp.zeros_like(aux_p_raw),
+                              aux_p_raw).astype(f32)
         pq_all = _mm(h_att_t, query_all[...])
         d_pq_parts = []
+        new_dA, new_dCV = list(dA_st), list(dCV_st)
         u_off = 0
         c_off = 0
         for si_, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref) in \
                 enumerate(zip(mem, vs)):
+            kind = kinds[si_]
             u = spec.u_sizes[si_]
             c = spec.c_sizes[si_]
             ind = ind_ref[...].astype(f32)
             values = values_ref[...].astype(f32)
             pq = _mm(ind, pq_all[:, u_off:u_off + u])
-            e = jnp.tanh(keys_ref[...].astype(f32) + pq)
+            pre = keys_ref[...].astype(f32) + pq
+            if kind != 0:
+                lane = loc_lane[si_]
+                cv_t = aux_t[:, lane + 1:lane + 2]
+                win = _loc_windows(cv_t, pos, spec.loc_kernel, T)
+                pre = pre + _mm(win, loc_ws[si_][...])
+            e = jnp.tanh(pre)
             e_col = _mm(e, v_ref[...])
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
             a_col = _block_softmax_col(e_col, ind)
+            if kind == 2:
+                # restore the recursion pieces: alpha_t from this step's
+                # aux row, alpha_{t-1} from the predecessor (the [1,0,...]
+                # init at t=0)
+                lane = loc_lane[si_]
+                alpha_t = aux_t[:, lane:lane + 1]
+                ap = jnp.where(first, onehot0, aux_p[:, lane:lane + 1])
+                sh = _shift_col(ap, -1) * _shift_mask(pos, -1, T)
+                s_t = 0.5 * ap + 0.5 * sh + 1e-7
+                z_col = s_t * a_col
+                z_sum = _mm_tA(ind, z_col)               # (B, 1)
+                w_col = alpha_t
+            else:
+                w_col = a_col
 
             d_ctx_b = d_ctx_total[:, c_off:c_off + c]
             dav = _mm(ind, d_ctx_b)                      # (B*T, C)
-            d_values_out[si_][...] += (a_col * dav).astype(
+            d_values_out[si_][...] += (w_col * dav).astype(
                 d_values_out[si_].dtype)
-            d_a = jnp.sum(dav * values, axis=1, keepdims=True)  # (B*T, 1)
+            d_w = jnp.sum(dav * values, axis=1, keepdims=True)  # (B*T, 1)
+            if kind == 2:
+                # normalize + recursion VJP: alpha = z / blocksum(z),
+                # z = s * a, s = 0.5*ap + 0.5*shift(ap) + 1e-7
+                d_alpha = d_w + dA_st[si_]
+                sa = _mm_tA(ind, d_alpha * alpha_t)      # (B, 1)
+                d_z = (d_alpha - _mm(ind, sa)) * _mm(ind, 1.0 / z_sum)
+                d_s = d_z * a_col
+                d_a = d_z * s_t + dCV_st[si_]
+                # adjoint of the one-step alpha shift (block-masked)
+                new_dA[si_] = 0.5 * d_s + 0.5 * _shift_col(
+                    d_s * _shift_mask(pos, -1, T), 1)
+            elif kind == 1:
+                d_a = d_w + dCV_st[si_]
+            else:
+                d_a = d_w
             s_b = _mm_tA(ind, a_col * d_a)               # (B, 1)
             d_e_col = a_col * (d_a - _mm(ind, s_b))
             # outer product (B*T,1)x(U,1) -> (B*T,U): contract singleton dims
@@ -649,6 +829,20 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             d_keys_out[si_][...] += d_pre.astype(d_keys_out[si_].dtype)
             d_vs[si_][...] += mm_dw(e, d_e_col).astype(d_vs[si_].dtype)
             d_pq_parts.append(_mm_tA(ind, d_pre))        # (B, U)
+            if kind != 0:
+                # conv adjoint: d_loc_w += win^T d_pre; the conv-input
+                # gradient gathers each window column back to its source row
+                d_loc_out[si_][...] += _mm_tA(win, d_pre).astype(
+                    d_loc_out[si_].dtype)
+                d_win = _mm_tB(d_pre, loc_ws[si_][...])  # (B*T, K)
+                pad_ = (spec.loc_kernel - 1) // 2
+                g = jnp.zeros((BT, 1), f32)
+                for kk in range(spec.loc_kernel):
+                    dd = kk - pad_
+                    g = g + _shift_col(
+                        d_win[:, kk:kk + 1] * _shift_mask(pos, dd, T), -dd)
+                new_dCV[si_] = g + (dCV_st[si_]
+                                    if spec.cumulative[si_] else 0.0)
             u_off += u
             c_off += c
         d_pq_all = (jnp.concatenate(d_pq_parts, axis=1) if ns > 1
@@ -713,11 +907,14 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 d_p = _mm_tB(d_pre_l, prenet[li][0][...])
 
         return (new_d_c_att, new_d_h_att, new_d_c1, new_d_h1,
-                new_d_c2, new_d_h2, new_d_ctx)
+                new_d_c2, new_d_h2, new_d_ctx,
+                tuple(new_dA), tuple(new_dCV))
 
     zeros = lambda n: jnp.zeros((B, n), f32)
+    dloc0 = tuple(jnp.zeros((B * T, 1), f32) if k != 0
+                  else jnp.zeros((1, 1), f32) for k in kinds)
     carry0 = (zeros(A), zeros(A), zeros(D), zeros(D), zeros(D), zeros(D),
-              zeros(sumC))
+              zeros(sumC), dloc0, dloc0)
     jax.lax.fori_loop(0, S, body, carry0)
 
 
@@ -746,13 +943,19 @@ def _mem_ins(spec: TrainSpec, keys, values, masks):
     return ins
 
 
+AUX_W = 128     # lane width of the per-step [alpha | conv-in] aux rows
+
+
 def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
-              seed_i, spk):
+              seed_i, spk, loc_ws):
     layout = _save_layout(spec)
     _, w_save = layout
     B, S, D = spec.batch, spec.num_steps, spec.d_units
+    T = spec.t_mem
+    n_loc = sum(1 for k in spec.src_kinds if k != 0)
     ins = _mem_ins(spec, keys, values, masks)
     ins += [seed_i.reshape(1), teacher_flat, spk]
+    ins += [lw for lw in loc_ws if lw is not None]
     ins += _weight_ins(params)
     n_mem = 4 * spec.num_sources
 
@@ -761,33 +964,50 @@ def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(ins) - n_mem
                                                            - 2)
-    out_shapes = (jax.ShapeDtypeStruct((S * B, D), jnp.float32),
-                  jax.ShapeDtypeStruct((S * B, w_save), jnp.float32))
-    out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
-                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
+    out_shapes = [jax.ShapeDtypeStruct((S * B, D), jnp.float32),
+                  jax.ShapeDtypeStruct((S * B, w_save), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
-               pltpu.VMEM((2 * B, w_save), jnp.float32),
-               pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA((2,))]
-    y_flat, save = pl.pallas_call(
+               pltpu.VMEM((2 * B, w_save), jnp.float32)]
+    if n_loc:
+        out_shapes += [jax.ShapeDtypeStruct((S * B * T, AUX_W), jnp.float32)]
+        out_specs += [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+        scratch += [pltpu.VMEM((2 * B * T, AUX_W), jnp.float32)]
+    scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA((2,))]
+    if n_loc:
+        scratch += [pltpu.SemaphoreType.DMA((2,))]
+    outs = pl.pallas_call(
         functools.partial(_fwd_kernel, spec, layout),
-        in_specs=in_specs, out_specs=out_specs, out_shape=out_shapes,
+        in_specs=in_specs, out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 << 20),
         interpret=spec.interpret,
     )(*ins)
-    return y_flat, save
+    if n_loc:
+        y_flat, save, aux = outs
+    else:
+        (y_flat, save), aux = outs, None
+    return y_flat, save, aux
 
 
 def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
-              seed_i, spk, g_flat, save):
+              seed_i, spk, loc_ws, g_flat, save, aux):
     layout = _save_layout(spec)
     _, w_save = layout
     B, S = spec.batch, spec.num_steps
+    T = spec.t_mem
+    n_loc = sum(1 for k in spec.src_kinds if k != 0)
+    loc_live = [lw for lw in loc_ws if lw is not None]
     ins = _mem_ins(spec, keys, values, masks)
     ins += [seed_i.reshape(1), teacher_flat, spk]
+    ins += loc_live
     ins += _weight_ins(params)
     ins += [g_flat, save]
+    if n_loc:
+        ins += [aux]
     n_mem = 4 * spec.num_sources
     n_w = len(_weight_ins(params))
 
@@ -795,20 +1015,30 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM),
                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(loc_live)
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_w
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM),
                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
+    if n_loc:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
 
-    # gradient outputs mirror the weight inputs, then d_keys/d_values/d_spk
+    # gradient outputs mirror the weight inputs, then
+    # d_keys/d_values/d_spk/d_loc
     w_ins = _weight_ins(params)
     out_shapes = [jax.ShapeDtypeStruct(x.shape, jnp.float32) for x in w_ins]
     out_shapes += [jax.ShapeDtypeStruct(k.shape, jnp.float32) for k in keys]
     out_shapes += [jax.ShapeDtypeStruct(v.shape, jnp.float32) for v in values]
     out_shapes += [jax.ShapeDtypeStruct(spk.shape, jnp.float32)]
+    out_shapes += [jax.ShapeDtypeStruct(lw.shape, jnp.float32)
+                   for lw in loc_live]
     scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
-               pltpu.VMEM((3 * B, w_save), jnp.float32),
-               pltpu.SemaphoreType.DMA(()),
-               pltpu.SemaphoreType.DMA((3,))]
+               pltpu.VMEM((3 * B, w_save), jnp.float32)]
+    if n_loc:
+        scratch += [pltpu.VMEM((3 * B * T, AUX_W), jnp.float32)]
+    scratch += [pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((3,))]
+    if n_loc:
+        scratch += [pltpu.SemaphoreType.DMA((3,))]
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, spec, layout),
         in_specs=in_specs,
@@ -832,7 +1062,11 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     d_keys = tuple(next(it) for _ in range(spec.num_sources))
     d_values = tuple(next(it) for _ in range(spec.num_sources))
     d_spk = next(it)
+    d_loc_live = [next(it) for _ in range(n_loc)]
     assert next(it, None) is None
+    d_loc = []
+    for k in spec.src_kinds:
+        d_loc.append(d_loc_live.pop(0) if k != 0 else None)
 
     # split the fused query-projection gradient back per source
     d_query = []
@@ -843,30 +1077,34 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     d_params = FusedTrainParams(prenet=d_prenet, att_lstm=d_att,
                                 query=tuple(d_query), outproj=d_outproj,
                                 lstm1=d_lstm1, lstm2=d_lstm2)
-    return d_params, d_keys, d_values, d_spk
+    return d_params, d_keys, d_values, d_spk, tuple(d_loc)
 
 
 # =============================================================== custom VJP
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_scan_core(spec: TrainSpec, params, keys, values, masks,
-                     teacher_flat, seed_f, spk):
-    y, _ = _fwd_call(spec, params, keys, values, masks, teacher_flat,
-                     seed_f.astype(jnp.int32), spk)
+                     teacher_flat, seed_f, spk, loc_ws):
+    y, _, _ = _fwd_call(spec, params, keys, values, masks, teacher_flat,
+                        seed_f.astype(jnp.int32), spk, loc_ws)
     return y
 
 
-def _core_fwd(spec, params, keys, values, masks, teacher_flat, seed_f, spk):
-    y, save = _fwd_call(spec, params, keys, values, masks, teacher_flat,
-                        seed_f.astype(jnp.int32), spk)
-    return y, (params, keys, values, masks, teacher_flat, seed_f, spk, save)
+def _core_fwd(spec, params, keys, values, masks, teacher_flat, seed_f, spk,
+              loc_ws):
+    y, save, aux = _fwd_call(spec, params, keys, values, masks, teacher_flat,
+                             seed_f.astype(jnp.int32), spk, loc_ws)
+    return y, (params, keys, values, masks, teacher_flat, seed_f, spk,
+               loc_ws, save, aux)
 
 
 def _core_bwd(spec, res, g_flat):
-    params, keys, values, masks, teacher_flat, seed_f, spk, save = res
-    d_params, d_keys, d_values, d_spk = _bwd_call(
+    (params, keys, values, masks, teacher_flat, seed_f, spk, loc_ws,
+     save, aux) = res
+    d_params, d_keys, d_values, d_spk, d_loc = _bwd_call(
         spec, params, keys, values, masks, teacher_flat,
-        seed_f.astype(jnp.int32), spk, g_flat.astype(jnp.float32), save)
+        seed_f.astype(jnp.int32), spk, loc_ws,
+        g_flat.astype(jnp.float32), save, aux)
     # accumulators run in f32; cotangent dtypes must match the primals
     # (bf16 storage mode casts here, and back to f32 outside the core)
     d_params = jax.tree_util.tree_map(lambda g, pr: g.astype(pr.dtype),
@@ -874,9 +1112,11 @@ def _core_bwd(spec, res, g_flat):
     d_keys = tuple(g.astype(k.dtype) for g, k in zip(d_keys, keys))
     d_values = tuple(g.astype(v.dtype) for g, v in zip(d_values, values))
     d_masks = tuple(jnp.zeros_like(m) for m in masks)
+    d_loc = tuple(None if lw is None else g.astype(lw.dtype)
+                  for g, lw in zip(d_loc, loc_ws))
     return (d_params, d_keys, d_values, d_masks,
             jnp.zeros_like(teacher_flat), jnp.zeros_like(seed_f),
-            d_spk.astype(spk.dtype))
+            d_spk.astype(spk.dtype), d_loc)
 
 
 _fused_scan_core.defvjp(_core_fwd, _core_bwd)
@@ -896,6 +1136,8 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                        deterministic: bool,
                        compute_dtype: str = "float32",
                        p_dropout=None, speaker_row=None,
+                       src_kinds=None, cumulative=None, loc_kernel: int = 31,
+                       loc_ws=None,
                        interpret: bool = None) -> Array:
     """Run the teacher-forced RNN trunk as fused fwd/bwd kernels.
 
@@ -973,11 +1215,25 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
 
     if p_dropout is None:
         p_dropout = (True,) * len(p_sizes)
+    kind_ids = {"additive": 0, "location_sensitive": 1, "forward": 2}
+    src_kinds = tuple(kind_ids[k] for k in
+                      (src_kinds or ("additive",) * len(keys)))
+    cumulative = tuple(bool(c) for c in
+                       (cumulative or (False,) * len(keys)))
+    if loc_ws is None:
+        loc_ws = (None,) * len(keys)
+    # pad the (K, U) location products to the padded attention widths
+    # (zero columns are exact and keep gradients aligned)
+    loc_ws_p = tuple(
+        None if lw is None else _pad_cols(jnp.asarray(lw, jnp.float32), u2)
+        for lw, u2 in zip(loc_ws, up))
     spec = TrainSpec(batch=B, num_steps=T_steps, cf=cfp,
                      num_sources=len(keys), t_mem=T_mem,
                      u_sizes=up, c_sizes=cp, p_sizes=p_sizes,
                      p_dropout=tuple(bool(f) for f in p_dropout),
                      use_spk=speaker_row is not None,
+                     src_kinds=src_kinds, cumulative=cumulative,
+                     loc_kernel=int(loc_kernel),
                      a_units=A, d_units=D, drop_rate=float(drop_rate),
                      zc_att=float(zc_att), zo_att=float(zo_att),
                      zc_dec=float(zc_dec), zo_dec=float(zo_dec),
@@ -989,5 +1245,5 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
     spk = (jnp.zeros((B, p_sizes[0]), jnp.float32) if speaker_row is None
            else jnp.asarray(speaker_row, jnp.float32))
     y_flat = _fused_scan_core(spec, params_p, keys_p, values_p, masks_p,
-                              teacher_flat, seed_f, spk)
+                              teacher_flat, seed_f, spk, loc_ws_p)
     return jnp.moveaxis(y_flat.reshape(T_steps, B, D), 0, 1)

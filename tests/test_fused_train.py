@@ -277,7 +277,9 @@ def test_decoder_fused_train_fallback_logs(caplog):
     from test_tacotron_model import make_batch, tiny_hp
 
     decoder_mod._warned_fused_fallback.clear()
-    hp = tiny_hp(decoder_fused_train=True, attention="forward")
+    # forward attention itself is fused now; the transition agent is not
+    hp = tiny_hp(decoder_fused_train=True, attention="forward",
+                 use_forward_attention_transition_agent=True)
     batch = make_batch(hp, B=2, T_in=7, T_out=6)
     model = tacotron_model_factory(hp)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
@@ -290,7 +292,8 @@ def test_decoder_fused_train_fallback_logs(caplog):
                              mutable=["batch_stats"])
     assert np.isfinite(np.asarray(out.outputs)).all()
     msgs = [r.getMessage() for r in caplog.records]
-    assert any("[train]" in m and "non-additive" in m for m in msgs), msgs
+    assert any("[train]" in m and "transition agent" in m
+               for m in msgs), msgs
 
 
 def test_bf16_storage_close_to_f32():
@@ -403,3 +406,58 @@ def test_decoder_fused_train_speaker_matches_scan():
             assert float(np.max(np.abs(np.asarray(b)))) > 0, name
     # the speaker embedding AND the prenet speaker projection got gradients
     assert spk_leaves >= 3
+
+
+def test_decoder_fused_train_forward_attention_matches_scan():
+    """The shipped flagship setting (attention=forward): location conv +
+    forward recursion inside the fused training kernels, gradients equal
+    the nn.scan path — including the location conv/dense weights, which
+    flow through the kernel's d_loc cotangent."""
+    from self_attention_tacotron_tpu.models import (DecoderMode,
+                                                    tacotron_model_factory,
+                                                    compute_loss)
+    from test_tacotron_model import make_batch, tiny_hp
+
+    kw = dict(encoder_prenet_drop_rate=0.0, decoder_prenet_drop_rate=0.0,
+              self_attention_drop_rate=0.0,
+              decoder_self_attention_drop_rate=0.0,
+              zoneout_factor_cell=0.0, zoneout_factor_output=0.0,
+              attention="forward", cumulative_weights=False,
+              attention_kernel=10, attention_filters=5,
+              use_speaker_embedding=True, num_speakers=3)
+    hp = tiny_hp(**kw)
+    hp_f = tiny_hp(decoder_fused_train=True, **kw)
+    batch = make_batch(hp, B=2, T_in=7, T_out=6)
+    batch = batch._replace(speaker_id=jnp.array([1, 2], jnp.int32))
+    model = tacotron_model_factory(hp)
+    model_f = tacotron_model_factory(hp_f)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           DecoderMode.VALIDATION, True)
+
+    def loss(m, v):
+        rngs = {"dropout": jax.random.PRNGKey(1),
+                "zoneout": jax.random.PRNGKey(2)}
+        out, _ = m.apply(v, batch, DecoderMode.TRAIN, rngs=rngs,
+                         mutable=["batch_stats"])
+        return compute_loss(hp, out, batch, v["params"])["loss"], out
+
+    (l_ref, out_ref), g_ref = jax.value_and_grad(
+        lambda v: loss(model, v), has_aux=True)(variables)
+    (l_f, out_f), g_f = jax.value_and_grad(
+        lambda v: loss(model_f, v), has_aux=True)(variables)
+
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f.outputs),
+                               np.asarray(out_ref.outputs),
+                               rtol=2e-4, atol=2e-5)
+    leaves_r = dict(jax.tree_util.tree_leaves_with_path(g_ref))
+    loc_leaves = 0
+    for path, a in jax.tree_util.tree_leaves_with_path(g_f):
+        name = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(leaves_r[path]),
+                                   rtol=2e-3, atol=2e-5, err_msg=name)
+        if "location" in name:
+            loc_leaves += 1
+            assert float(np.max(np.abs(np.asarray(leaves_r[path])))) > 0, name
+    assert loc_leaves >= 3  # conv kernel + conv bias + location dense
