@@ -444,6 +444,11 @@ class TacotronDecoder(nn.Module):
             reason = f"output_kind={self.output_kind!r} is not fused"
         elif any(p.teacher_alignments is not None for p in packs):
             reason = "forced-alignment replay is not fused"
+        elif not on_tpu and (
+                self.drop_rate > 0 or self.zoneout_factor_cell > 0
+                or self.zoneout_factor_output > 0):
+            reason = ("in-kernel PRNG dropout/zoneout masks need the TPU "
+                      "backend (interpret mode cannot lower prng_seed)")
         elif len({int(p.values.shape[1]) for p in packs}) != 1:
             reason = "sources with different memory lengths"
 
