@@ -155,10 +155,22 @@ def main(argv=None) -> int:
     kind_kw = {"target_kind": args.dataset_kind} if args.dataset_kind else {}
     if multihost:
         # lockstep shapes: each host emits identical local batch shapes
-        # every step so the per-host shards glue into one global array
-        kind_kw["fixed_target_pad"] = (hp.multihost_target_pad_length
-                                       or hp.max_iters * hp.outputs_per_step)
+        # every step so the per-host shards glue into one global array.
+        # Default: a deterministic shared bucket schedule (all hosts draw
+        # the same per-step pad from the COMMON seed, each fills from its
+        # shard) — per-bucket static shapes instead of worst-case padding
+        # on every batch.  An explicit multihost_target_pad_length (or
+        # multihost_bucket_schedule=false) selects the single fixed pad.
         kind_kw["fixed_source_pad"] = hp.multihost_source_pad_length
+        if hp.multihost_bucket_schedule and not hp.multihost_target_pad_length:
+            kind_kw["bucket_schedule_seed"] = hp.seed
+            if hp.multihost_bucket_weights:
+                kind_kw["bucket_weights"] = hp.multihost_bucket_weights
+            kind_kw["bucket_buffer_cap"] = hp.multihost_bucket_buffer_cap
+        else:
+            kind_kw["fixed_target_pad"] = (hp.multihost_target_pad_length
+                                           or hp.max_iters
+                                           * hp.outputs_per_step)
         train_bs = local_batch_size(hp.batch_size)
         data_seed = hp.seed + jax.process_index()  # per-host shuffle only;
         #          the model/step RNG stays identical on every process
@@ -169,8 +181,9 @@ def main(argv=None) -> int:
                                repeat=True, drop_remainder=True,
                                batch_size=train_bs, seed=data_seed, **kind_kw)
     val_kw = dict(kind_kw)
-    val_kw.pop("fixed_target_pad", None)
-    val_kw.pop("fixed_source_pad", None)
+    for k in ("fixed_target_pad", "fixed_source_pad", "bucket_schedule_seed",
+              "bucket_weights", "bucket_buffer_cap"):
+        val_kw.pop(k, None)
     val_ds_factory = lambda: dataset_factory(
         val_src, val_tgt, hp, batch_size=1, shuffle=False, **val_kw)
 

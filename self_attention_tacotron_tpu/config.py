@@ -259,6 +259,12 @@ class HParams:        # attribute of flax modules / jit closures)
     # lengths replace length-bucketed pads (parallel/multihost.py docstring)
     multihost_target_pad_length: int = 0  # 0 -> max_iters * outputs_per_step
     multihost_source_pad_length: int = 256
+    # deterministic shared bucket schedule for multi-host lockstep shapes
+    # (data/dataset.py:_iter_scheduled); falls back to the single fixed pad
+    # when disabled or when multihost_target_pad_length is set explicitly
+    multihost_bucket_schedule: bool = True
+    multihost_bucket_weights: List[float] = _list_f()
+    multihost_bucket_buffer_cap: int = 4096
     checkpoint_async: bool = True
     num_parallel_reads: int = 0  # 0 -> cpu_count based (reference train.py:33-37)
     native_reader: bool = True  # use the C++ TFRecord reader when built

@@ -279,7 +279,10 @@ class Dataset:
                  shuffle: bool = True, repeat: bool = False, seed: int = 0,
                  drop_remainder: bool = False, num_workers: int = 0,
                  fixed_target_pad: Optional[int] = None,
-                 fixed_source_pad: Optional[int] = None):
+                 fixed_source_pad: Optional[int] = None,
+                 bucket_schedule_seed: Optional[int] = None,
+                 bucket_weights: Optional[Sequence[float]] = None,
+                 bucket_buffer_cap: int = 4096):
         assert target_files is None or len(source_files) == len(target_files)
         self.pairs = list(zip(source_files,
                               target_files or [None] * len(source_files)))
@@ -290,10 +293,20 @@ class Dataset:
         self.repeat = repeat
         self.seed = seed
         self.drop_remainder = drop_remainder
-        # multi-host lockstep: every host must emit identical batch shapes,
-        # so a fixed pad replaces the per-bucket pad (parallel/multihost.py)
+        # multi-host lockstep: every host must emit identical batch shapes.
+        # Either ONE fixed pad (fixed_target_pad), or — much less padding
+        # waste — a deterministic shared BUCKET SCHEDULE: every host draws
+        # the same per-step bucket sequence from ``bucket_schedule_seed``
+        # (the COMMON config seed, not the per-host data seed) and fills
+        # the scheduled bucket from its own shard, so shapes stay in
+        # lockstep while keeping per-bucket compiled programs
+        # (reference bucketing semantics: datasets/codes/dataset.py:302-362)
         self.fixed_target_pad = fixed_target_pad
         self.fixed_source_pad = fixed_source_pad
+        self.bucket_schedule_seed = bucket_schedule_seed
+        self.bucket_weights = (list(bucket_weights)
+                               if bucket_weights else None)
+        self.bucket_buffer_cap = bucket_buffer_cap
         self.bucketing = Bucketing(hp)
         if num_workers <= 0:
             import os
@@ -372,7 +385,77 @@ class Dataset:
             return False
         return True
 
+    def _iter_scheduled(self) -> Iterator[NumpyBatch]:
+        """Shared-bucket-schedule batching for multi-host lockstep.
+
+        Each scheduled entry names a bucket id; the batch is filled with
+        buffered utterances from that bucket or below (largest first, so
+        the extra padding stays minimal).  Requires every host's shard to
+        contain utterances at or below each scheduled bucket — the buffer
+        cap turns a starving schedule into a hard error instead of
+        unbounded memory growth."""
+        rng = random.Random(self.bucket_schedule_seed)
+        bk = self.bucketing
+        max_out = self.hp.max_iters * self.hp.outputs_per_step
+        ids = [b for b in range(bk.num_buckets + 1)
+               if bk.target_pad_length(b) <= max_out
+               or b == 0]
+        weights = self.bucket_weights or [1.0] * len(ids)
+        assert len(weights) == len(ids), \
+            (f"multihost_bucket_weights needs {len(ids)} entries "
+             f"(one per bucket), got {len(weights)}")
+        if self.fixed_source_pad is None:
+            import logging
+            logging.getLogger(__name__).warning(
+                "bucket schedule without fixed_source_pad: source shapes "
+                "are data-dependent and will NOT be in cross-host lockstep")
+        stream = self._utterances()
+        buckets: dict = {}
+        buffered = 0
+        while True:
+            b = rng.choices(ids, weights)[0]
+            batch = []
+            drained = False
+            while len(batch) < self.batch_size:
+                took = False
+                for bid in range(b, -1, -1):
+                    q = buckets.get(bid)
+                    if q:
+                        batch.append(q.pop())
+                        buffered -= 1
+                        took = True
+                        break
+                if took:
+                    continue
+                u = next(stream, None)
+                if u is None:
+                    drained = True
+                    break
+                if u.target is None or not self._fits_fixed_pads(u):
+                    continue
+                buckets.setdefault(bk.bucket_id(u.target_length),
+                                   []).append(u)
+                buffered += 1
+                if buffered > self.bucket_buffer_cap:
+                    raise RuntimeError(
+                        "bucket-schedule starvation: buffered "
+                        f"{buffered} utterances without filling bucket {b} "
+                        f"(pad {bk.target_pad_length(b)}); this host's "
+                        "shard has no utterances that short — set "
+                        "multihost_bucket_weights to skip short buckets or "
+                        "fall back to multihost_target_pad_length")
+            if drained:
+                return  # finite stream exhausted (repeat=False)
+            sp = (self.fixed_source_pad
+                  or bk.source_pad_length(
+                      max(x.source_length for x in batch)))
+            yield pad_batch(batch, self.hp, self.target_kind,
+                            bk.target_pad_length(b), sp)
+
     def __iter__(self) -> Iterator[NumpyBatch]:
+        if self.bucket_schedule_seed is not None:
+            yield from self._iter_scheduled()
+            return
         buckets: dict = {}
         for u in self._utterances():
             if not self._fits_fixed_pads(u):

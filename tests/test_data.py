@@ -259,3 +259,67 @@ def test_bounded_inflight_window(monkeypatch):
     assert keys == sorted(keys)  # FIFO order preserved
     # window (2*workers) + the one utterance in the consumer's hand
     assert state["peak"] <= 2 * workers + 1, state["peak"]
+
+
+def test_bucket_schedule_lockstep_shapes(tmp_path):
+    """Multi-host shared bucket schedule: two 'hosts' with DIFFERENT data
+    shards and different shuffle seeds emit the SAME sequence of padded
+    target shapes (drawn from the common schedule seed) with more than one
+    distinct pad length in play — the lockstep requirement without the
+    single worst-case pad (round-2 review weak #5)."""
+    import json
+
+    import numpy as np
+
+    from self_attention_tacotron_tpu.config import default_hparams
+    from self_attention_tacotron_tpu.data import records as R
+    from self_attention_tacotron_tpu.data.dataset import Dataset
+
+    hp = default_hparams()
+    hp.num_mels = 8
+    hp.outputs_per_step = 1
+    hp.approx_min_target_length = 0
+    hp.batch_bucket_width = 16
+    hp.batch_num_buckets = 4
+    hp.max_iters = 80
+    hp.native_reader = False
+
+    rng = np.random.RandomState(0)
+    shards = {0: [], 1: []}
+    for i in range(40):
+        key = f"u{i:03d}"
+        L = int(rng.randint(4, 70))
+        codes = np.eye(hp.num_mels, dtype=np.float32)[
+            rng.randint(0, hp.num_mels, L)]
+        src = rng.randint(1, 40, rng.randint(3, 12)).astype(np.int64)
+        sp = tmp_path / f"{key}.source.tfrecord"
+        tp = tmp_path / f"{key}.target.tfrecord"
+        R.write_source_record(
+            R.SourceRecord(id=i, key=key, source=src,
+                           source_length=len(src), text="x"),
+            str(sp), with_speaker=False)
+        R.write_code_target_record(
+            R.CodeTargetRecord(id=i, key=key, codes=codes,
+                               codes_length=L, lang="EN",
+                               codes_width=hp.num_mels), str(tp))
+        shards[i % 2].append((str(sp), str(tp)))
+
+    def shapes(host):
+        srcs, tgts = zip(*shards[host])
+        ds = Dataset(list(srcs), list(tgts), hp, target_kind="codes",
+                     batch_size=2, shuffle=True, repeat=True,
+                     seed=100 + host,             # per-host data shuffle
+                     bucket_schedule_seed=7,      # COMMON schedule seed
+                     fixed_source_pad=16)
+        out = []
+        it = iter(ds)
+        for _ in range(12):
+            b = next(it)
+            out.append((b.target.shape, b.source.shape))
+        return out
+
+    s0, s1 = shapes(0), shapes(1)
+    assert s0 == s1, "hosts diverged in batch shapes"
+    target_pads = {t[0][1] for t in s0}
+    assert len(target_pads) >= 2, (
+        f"schedule produced a single pad length {target_pads}")
