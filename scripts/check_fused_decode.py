@@ -97,6 +97,19 @@ def main():
     flag.max_iters = 450
     flag.decoder_early_stop = False
     compare(flag, "flagship f32", 5e-2)
+
+    # the SHIPPED recipe shape: forward attention + speaker prenet
+    recipe = _flagship_hparams(tiny=False)
+    recipe.max_iters = 64
+    recipe.decoder_early_stop = False
+    recipe.attention = "forward"
+    recipe.cumulative_weights = False
+    recipe.attention_kernel = 10
+    recipe.attention_filters = 5
+    recipe.use_speaker_embedding = True
+    recipe.num_speakers = 152
+    recipe.speaker_embedding_offset = 0
+    compare(recipe, "recipe fwd-attn+spk (64 steps)", 5e-2)
     flag_bf16 = flag.replace(decoder_fused_dtype="bfloat16")
     try:
         compare(flag_bf16.replace(max_iters=64), "flagship bf16 (64 steps)",

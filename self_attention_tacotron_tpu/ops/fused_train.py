@@ -167,18 +167,18 @@ def _pos_col(B, T):
 
 
 def _shift_col(x, d: int):
-    """out[r] = x[r + d] over the flattened rows, zero-filled edges.
-    Callers apply the block-boundary mask from _shift_mask."""
+    """out[r] = x[(r + d) mod n] over the flattened rows, as a sublane
+    ROTATE (Mosaic cannot concatenate sublane slices at non-tile offsets).
+
+    The wrap-around rows are exactly the rows every caller masks with
+    ``_shift_mask`` (a wrapped source row always crosses its utterance's
+    block boundary), so rotate+mask equals shift-with-zero-fill."""
     if d == 0:
         return x
     n = x.shape[0]
     if abs(d) >= n:  # conv kernel wider than the whole flattened column
         return jnp.zeros_like(x)
-    if d > 0:
-        return jnp.concatenate(
-            [x[d:], jnp.zeros((d, x.shape[1]), x.dtype)], axis=0)
-    return jnp.concatenate(
-        [jnp.zeros((-d, x.shape[1]), x.dtype), x[:n + d]], axis=0)
+    return pltpu.roll(x, (-d) % n, 0)
 
 
 def _shift_mask(pos, d: int, T: int):
