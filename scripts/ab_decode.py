@@ -39,7 +39,9 @@ def build(hp_kw=None, env=None, patch_old=None):
     hp.decoder_fused_inference = True
     for k, v in (hp_kw or {}).items():
         hp.set_hparam(k, v)
-    batch = _make_batch(hp, B=1, T_in=64, T_out=32)
+    batch = _make_batch(hp, B=1,
+                        T_in=int(os.environ.get("SAT_TIN", "64")),
+                        T_out=32)
     model = tacotron_model_factory(hp)
     variables = jax.jit(lambda k, b: model.init(
         {"params": k}, b, DecoderMode.VALIDATION, True))(
@@ -100,9 +102,12 @@ def build(hp_kw=None, env=None, patch_old=None):
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     variants = [
-        ("fused-f32", {}, {}, None),
-        ("fused-bf16", {"decoder_fused_dtype": "bfloat16"}, {}, None),
         ("fixed-cost", {"max_iters": 2}, {}, None),
+        ("fc-conv1", {"max_iters": 2, "max_filter_width": 1}, {}, None),
+        ("fc-nohighway", {"max_iters": 2, "num_highway": 0}, {}, None),
+        ("fc-nosahop", {"max_iters": 2, "self_attention_num_hop": 0},
+         {}, None),
+        ("fc-tin16", {"max_iters": 2}, {"SAT_TIN": "16"}, None),
     ]
     runners = [(name, build(kw, env, patch))
                for name, kw, env, patch in variants

@@ -116,7 +116,8 @@ class GRUCell(nn.Module):
 
 def unroll(cell: nn.Module, xs: Array, initial_carry,
            lengths: Optional[Array] = None, reverse: bool = False,
-           deterministic: bool = True, rng_collection: str = "zoneout"):
+           deterministic: bool = True, rng_collection: str = "zoneout",
+           scan_unroll: int = 8):
     """Scan ``cell`` over time axis 1 of ``xs`` (B, T, D).
 
     With ``lengths``, outputs past each row's length are zeroed and carries
@@ -146,7 +147,10 @@ def unroll(cell: nn.Module, xs: Array, initial_carry,
 
     scan = nn.scan(step, variable_broadcast="params",
                    split_rngs={rng_collection: needs_rng, "params": False},
-                   in_axes=0, out_axes=0)
+                   in_axes=0, out_axes=0,
+                   unroll=min(scan_unroll, T))  # amortize per-iteration
+    #                                             loop overhead (B=1 serving
+    #                                             is latency-bound on it)
     final_carry, ys = scan(cell, initial_carry, jnp.arange(T))
     ys = jnp.moveaxis(ys, 0, 1)  # (T, B, D) -> (B, T, D)
     if reverse:
