@@ -102,12 +102,10 @@ def build(hp_kw=None, env=None, patch_old=None):
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     variants = [
-        ("fixed-cost", {"max_iters": 2}, {}, None),
-        ("fc-conv1", {"max_iters": 2, "max_filter_width": 1}, {}, None),
-        ("fc-nohighway", {"max_iters": 2, "num_highway": 0}, {}, None),
-        ("fc-nosahop", {"max_iters": 2, "self_attention_num_hop": 0},
+        ("fused-f32", {}, {}, None),
+        ("fused+enc", {"encoder_fused_inference": True}, {}, None),
+        ("fc+enc", {"max_iters": 2, "encoder_fused_inference": True},
          {}, None),
-        ("fc-tin16", {"max_iters": 2}, {"SAT_TIN": "16"}, None),
     ]
     runners = [(name, build(kw, env, patch))
                for name, kw, env, patch in variants

@@ -247,6 +247,8 @@ class HParams:        # attribute of flax modules / jit closures)
     decoder_fused_inference: bool = False  # whole-loop Pallas decode kernel
     #                            (ops/fused_decode.py; batch-1 serving path)
     decoder_fused_dtype: str = "float32"  # float32 | bfloat16 in-kernel storage
+    encoder_fused_inference: bool = False  # whole-encoder Pallas kernel at
+    #                                  serving batch 1 (ops/fused_encoder.py)
     decoder_fused_train: bool = False  # fused Pallas teacher-forced training
     #                            scan (ops/fused_train.py): trunk weights
     #                            VMEM-resident across all steps, fwd + bwd

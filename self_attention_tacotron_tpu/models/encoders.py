@@ -316,11 +316,17 @@ class SelfAttentionCBHGEncoder(nn.Module):
     zoneout_factor_output: float = 0.0
     self_attention_drop_rate: float = 0.1
     use_pallas: bool = False
+    fused_inference: bool = False  # whole-encoder Pallas kernel at batch 1
+    #                                (ops/fused_encoder.py); falls back to
+    #                                the XLA path outside its subset
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, input_lengths=None, *, is_training: bool = False):
         from .prenet import PreNetStack
+        if (self.fused_inference and not is_training
+                and not self.is_initializing() and inputs.shape[0] == 1):
+            return self._fused_call(inputs, input_lengths)
         h = PreNetStack(self.prenet_out_units, self.drop_rate,
                         dtype=self.dtype, name="prenets")(
             inputs, is_training=is_training)
@@ -347,6 +353,122 @@ class SelfAttentionCBHGEncoder(nn.Module):
                 deterministic=not is_training)
             alignments.extend(heads)
         return lstm_output, sa, alignments
+
+    def _fused_call(self, inputs, input_lengths):
+        """Batch-1 inference through ops/fused_encoder.fused_encode.
+
+        One pallas_call instead of ~150 small XLA ops (weight merges and
+        inference-BN folding documented in the kernel module).  Encoder
+        self-attention probabilities are not materialized (zeros) — the
+        alignment-replay path covers plots, as for the fused decoder."""
+        from ..ops import fused_encoder as fe
+        from ..ops.attention_core import positional_encoding
+
+        p = self.variables["params"]
+        stats = self.variables.get("batch_stats", {})
+        row = lambda b: jnp.asarray(b, jnp.float32).reshape(1, -1)
+
+        def bn_fold(conv_p, bn_p, bn_s):
+            eps = 1e-3
+            scale = (jnp.asarray(bn_p["scale"], jnp.float32)
+                     / jnp.sqrt(jnp.asarray(bn_s["var"], jnp.float32) + eps))
+            shift = (jnp.asarray(bn_p["bias"], jnp.float32)
+                     - jnp.asarray(bn_s["mean"], jnp.float32) * scale)
+            w = jnp.asarray(conv_p["kernel"], jnp.float32) * scale
+            return w, shift
+
+        prenet = tuple(
+            (p["prenets"][f"prenet_{i}"]["dense"]["kernel"],
+             row(p["prenets"][f"prenet_{i}"]["dense"]["bias"]))
+            for i in range(len(self.prenet_out_units)))
+
+        trunk_p = p["cbhg"]["trunk"]
+        trunk_s = stats["cbhg"]["trunk"]
+        K = self.max_filter_width
+        C = self.conv_channels
+        E = int(prenet[-1][1].shape[1])
+        pad_g = (K - 1) // 2 if K > 1 else 0
+        w_bank = jnp.zeros((K * E, K * C), jnp.float32)
+        b_bank = jnp.zeros((1, K * C), jnp.float32)
+        for k in range(1, K + 1):
+            cp = trunk_p["conv_bank"][f"conv1d_K{k}"]
+            cs = trunk_s["conv_bank"][f"conv1d_K{k}"]
+            wk, sk = bn_fold(cp["conv"], cp["bn"], cs["bn"])   # (k, E, C)
+            b_bank = b_bank.at[0, (k - 1) * C:k * C].set(sk)
+            for j in range(k):
+                kk = j - (k - 1) // 2 + pad_g
+                w_bank = w_bank.at[kk * E:(kk + 1) * E,
+                                   (k - 1) * C:k * C].set(wk[j])
+
+        def proj_fold(name, taps):
+            cp, cs = trunk_p[name], trunk_s[name]
+            w, sh = bn_fold(cp["conv"], cp["bn"], cs["bn"])   # (taps, In, O)
+            return (w.reshape(taps * w.shape[1], w.shape[2]), row(sh))
+
+        w_proj1 = proj_fold("proj1", 3)
+        w_proj2 = proj_fold("proj2", 3)
+        w_adj = None
+        if "adjustment_layer" in trunk_p:
+            w_adj = (trunk_p["adjustment_layer"]["kernel"],
+                     row(trunk_p["adjustment_layer"]["bias"]))
+        highway = tuple(
+            (jnp.concatenate([trunk_p[f"highway_{i}"]["H"]["kernel"],
+                              trunk_p[f"highway_{i}"]["T"]["kernel"]],
+                             axis=1),
+             row(jnp.concatenate([trunk_p[f"highway_{i}"]["H"]["bias"],
+                                  trunk_p[f"highway_{i}"]["T"]["bias"]])))
+            for i in range(self.num_highway))
+
+        def fold_forget(b):
+            q = b.shape[0] // 4
+            return jnp.asarray(b, jnp.float32).at[2 * q:3 * q].add(1.0)
+
+        bl = p["cbhg"]["bilstm"]
+        w_lstm = jnp.concatenate([bl["fw"]["kernel"], bl["bw"]["kernel"]],
+                                 axis=0)
+        b_lstm = jnp.stack([fold_forget(bl["fw"]["bias"]),
+                            fold_forget(bl["bw"]["bias"])], axis=0)
+
+        sa_proj = (p["self_attention_projection_layer"]["kernel"],
+                   row(p["self_attention_projection_layer"]["bias"]))
+        hops = []
+        for i in range(self.self_attention_num_hop):
+            hp_ = p[f"self_attention_{i}"]
+            att = hp_["self_attention"]["attention"]
+            w_kvq = jnp.concatenate(
+                [att["key_projection"]["kernel"],
+                 att["value_projection"]["kernel"],
+                 att["query_projection"]["kernel"]], axis=1)
+            b_kvq = row(jnp.concatenate(
+                [att["key_projection"]["bias"],
+                 att["value_projection"]["bias"],
+                 att["query_projection"]["bias"]]))
+            wo, bo = (att["output_projection"]["kernel"],
+                      att["output_projection"]["bias"])
+            wt, bt = hp_["transform"]["kernel"], hp_["transform"]["bias"]
+            hops.append((w_kvq, b_kvq, wo @ wt, row(bo @ wt + bt)))
+
+        params = fe.FusedEncoderParams(
+            prenet=prenet, w_bank=(w_bank, b_bank), w_proj1=w_proj1,
+            w_proj2=w_proj2, w_adjust=w_adj, highway=highway,
+            lstm=(w_lstm, b_lstm), sa_proj=sa_proj, hops=tuple(hops))
+
+        T = inputs.shape[1]
+        half = self.cbhg_out_units // 2
+        L = (input_lengths[0] if input_lengths is not None
+             else jnp.asarray(T, jnp.int32))
+        pe = positional_encoding(T, self.self_attention_out_units,
+                                 jnp.float32)
+        lstm_out, sa = fe.fused_encode(
+            params, inputs, L, pe, max_filter_width=K, conv_channels=C,
+            half=half, sa_units=self.self_attention_out_units,
+            num_heads=self.self_attention_num_heads,
+            zoneout_cell=self.zoneout_factor_cell,
+            zoneout_output=self.zoneout_factor_output)
+        aligns = [jnp.zeros((1, T, T), self.dtype)
+                  for _ in range(self.self_attention_num_hop
+                                 * self.self_attention_num_heads)]
+        return (lstm_out.astype(self.dtype), sa.astype(self.dtype), aligns)
 
 
 class SelfAttentionCBHGEncoderWithAccentType(nn.Module):

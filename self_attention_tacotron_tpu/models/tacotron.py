@@ -192,6 +192,7 @@ class TacotronModel(nn.Module):
                 prenet_out_units=hp.encoder_prenet_out_units,
                 self_attention_drop_rate=hp.self_attention_drop_rate,
                 use_pallas=hp.use_pallas_attention,
+                fused_inference=hp.encoder_fused_inference,
                 **common)
         elif enc == "SelfAttentionCBHGEncoderWithAccentType":
             self.encoder = SelfAttentionCBHGEncoderWithAccentType(
