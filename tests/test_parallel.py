@@ -85,3 +85,54 @@ def test_multichip_data_parallel_step():
     # updated params identical across the mesh (replicated output)
     leaf = jax.tree_util.tree_leaves(new_state.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_bf16_training_loss_trajectory_tracks_f32():
+    """compute_dtype=bfloat16 training stays a faithful optimization of the
+    same objective: N full train steps (Adam, clipping, noam schedule) from
+    shared f32 initial params, with the per-step f32-evaluated loss of the
+    bf16 run tracking the f32 run within a stated tolerance.  Backs the
+    PERF.md bf16 throughput rows (round-2 review weak #10)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from test_tacotron_model import make_batch, tiny_hp
+    from self_attention_tacotron_tpu.models import (DecoderMode,
+                                                    tacotron_model_factory,
+                                                    compute_loss)
+    from self_attention_tacotron_tpu.parallel import (create_mesh,
+                                                      create_train_state,
+                                                      make_train_step)
+    from self_attention_tacotron_tpu.parallel.mesh import (
+        replicated_sharding, shard_batch)
+
+    kw = dict(encoder_prenet_drop_rate=0.0, decoder_prenet_drop_rate=0.0,
+              self_attention_drop_rate=0.0,
+              decoder_self_attention_drop_rate=0.0,
+              zoneout_factor_cell=0.0, zoneout_factor_output=0.0,
+              batch_size=4, initial_learning_rate=2e-3)
+    hp32 = tiny_hp(**kw)
+    hp16 = tiny_hp(compute_dtype="bfloat16", **kw)
+    batch = make_batch(hp32, B=4, T_in=9, T_out=8)
+    mesh = create_mesh(devices=jax.devices()[:1])
+
+    def run(hp, steps=12):
+        model = tacotron_model_factory(hp)
+        state = create_train_state(model, hp, batch, jax.random.PRNGKey(0))
+        state = jax.device_put(state, replicated_sharding(mesh))
+        sb = shard_batch(batch, mesh)
+        step = make_train_step(model, hp, mesh=mesh, donate=False)
+        losses = []
+        for i in range(steps):
+            state, m = step(state, sb, jax.random.PRNGKey(i))
+            losses.append(float(m["loss"]))
+        return np.array(losses)
+
+    l32 = run(hp32)
+    l16 = run(hp16)
+    # same trajectory within bf16 resolution: every step within 5% rel of
+    # the f32 loss, and the run actually optimizes
+    np.testing.assert_allclose(l16, l32, rtol=5e-2)
+    assert l32[-1] < l32[0]
+    assert l16[-1] < l16[0]
