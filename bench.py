@@ -53,6 +53,9 @@ def main():
     # with VMEM-resident weights (ops/fused_decode.py; parity vs the scan
     # path in tests/test_fused_decode.py + scripts/check_fused_decode.py)
     hp.decoder_fused_inference = True
+    # the whole-encoder kernel removes the ~0.2 ms of per-op launch
+    # overhead that dominated the serving chain's fixed cost
+    hp.encoder_fused_inference = True
     B, T_in = 1, 64
     batch = _make_batch(hp, B=B, T_in=T_in, T_out=32)
     model = tacotron_model_factory(hp)
@@ -82,11 +85,33 @@ def main():
 
     run_chain(2, 0)  # compile + warmup
     # longer chains + more reps: run-to-run tunnel variance is ~15%, and
-    # each decode is ~2 ms, so a 32-call chain still costs well under 100 ms
-    n_short, n_long, reps = 4, 32, 5
-    t_short = statistics.median(run_chain(n_short, r) for r in range(reps))
-    t_long = statistics.median(run_chain(n_long, r + 10) for r in range(reps))
-    per_decode = (t_long - t_short) / (n_long - n_short)
+    # each decode is ~1.3 ms, so a 36-call chain still costs under 50 ms.
+    # The tunnel occasionally degrades an entire measurement by 10-30x
+    # (observed: a whole run at 1/25th speed, bracketed by normal ones);
+    # per-rep estimates expose that as huge relative spread, so retry the
+    # measurement until the reps agree and keep the tightest attempt.
+    n_short, n_long, reps = 4, 36, 7
+
+    def measure():
+        t_short = statistics.median(run_chain(n_short, r)
+                                    for r in range(reps))
+        ests = []
+        for r in range(reps):
+            t_long = run_chain(n_long, r + 10)
+            ests.append((t_long - t_short) / (n_long - n_short))
+        med = statistics.median(ests)
+        spread = (statistics.median(abs(e - med) for e in ests)
+                  / max(med, 1e-9))
+        return med, spread
+
+    best = None
+    for attempt in range(3):
+        med, spread = measure()
+        if best is None or spread < best[1]:
+            best = (med, spread)
+        if spread < 0.08:
+            break
+    per_decode = best[0]
 
     frames = hp.max_iters * hp.outputs_per_step * B
     fps = frames / per_decode
