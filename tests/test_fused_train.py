@@ -277,9 +277,13 @@ def test_decoder_fused_train_fallback_logs(caplog):
     from test_tacotron_model import make_batch, tiny_hp
 
     decoder_mod._warned_fused_fallback.clear()
-    # forward attention itself is fused now; the transition agent is not
+    # forward attention itself is fused now; the transition agent is not.
+    # Dropout/zoneout must be off: on non-TPU backends the in-kernel-PRNG
+    # gate would fire first and log a different reason.
     hp = tiny_hp(decoder_fused_train=True, attention="forward",
-                 use_forward_attention_transition_agent=True)
+                 use_forward_attention_transition_agent=True,
+                 decoder_prenet_drop_rate=0.0, zoneout_factor_cell=0.0,
+                 zoneout_factor_output=0.0)
     batch = make_batch(hp, B=2, T_in=7, T_out=6)
     model = tacotron_model_factory(hp)
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
