@@ -23,8 +23,14 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process subprocess tests (minutes each)")
 
-# persistent compilation cache: repeated test runs skip XLA recompiles
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# Persistent compilation cache: repeated test runs skip XLA recompiles.
+# OPT-IN ONLY (SAT_TEST_COMPILE_CACHE=1): the cache-write path
+# (put_executable_and_time) segfaulted two full-suite runs in round 3 when
+# min_entry_size_bytes=0 forced every executable to disk, killing the run at
+# ~84 %.  Default is therefore no persistent cache — a slower but reliable
+# gate.  When opted in, keep the default min-entry threshold instead of
+# forcing zero so tiny executables (the crash trigger) stay out of the cache.
+if os.environ.get("SAT_TEST_COMPILE_CACHE", "") == "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
