@@ -80,41 +80,65 @@ def plot_predictions(alignments: Sequence[np.ndarray],
 def plot_mgc_lf0(mgc_gt: np.ndarray, mgc_pred: np.ndarray,
                  lf0_gt: np.ndarray, lf0_pred: np.ndarray, key: str,
                  path: str) -> None:
-    """reference: modules/metrics.py:56-76."""
-    fig = plt.figure(figsize=(12, 10))
-    for i, (name, spec) in enumerate([("mgc ground truth", mgc_gt),
-                                      ("mgc predicted", mgc_pred)]):
-        ax = fig.add_subplot(3, 1, i + 1)
-        im = ax.imshow(np.asarray(spec).T, aspect="auto", origin="lower",
-                       interpolation="none")
-        fig.colorbar(im, ax=ax)
+    """Four panels: mgc gt/pred heatmaps (magma, +-4) and lf0 gt/pred —
+    2-D probability maps as binary heatmaps in [0, 1], 1-D tracks as lines
+    (reference: modules/metrics.py:56-76)."""
+    fig = plt.figure(figsize=(12, 14))
+    T = np.asarray(mgc_gt).shape[0]
+    panels = [("mgc ground truth", mgc_gt, "magma", -4.0, 4.0),
+              ("mgc predicted", np.asarray(mgc_pred)[:T], "magma", -4.0, 4.0),
+              ("lf0 ground truth", lf0_gt, "binary", 0.0, 1.0),
+              ("lf0 predicted", np.asarray(lf0_pred)[:T], "binary", 0.0, 1.0)]
+    for i, (name, spec, cmap, vmin, vmax) in enumerate(panels):
+        ax = fig.add_subplot(4, 1, i + 1)
+        spec = np.asarray(spec)
+        if spec.ndim == 1:
+            ax.plot(spec)
+        else:
+            im = ax.imshow(spec.T, aspect="auto", origin="lower",
+                           interpolation="none", cmap=cmap, vmin=vmin,
+                           vmax=vmax)
+            fig.colorbar(im, ax=ax)
         ax.set_title(name)
-    ax = fig.add_subplot(3, 1, 3)
-    ax.plot(np.asarray(lf0_gt), label="lf0 ground truth")
-    ax.plot(np.asarray(lf0_pred), label="lf0 predicted")
-    ax.legend()
     fig.suptitle(f"record: {key}")
     fig.savefig(path, format="png")
     plt.close(fig)
 
 
 class MetricsLogger:
-    """Scalar metrics to JSONL (+ stdout), the TensorBoard-scalar analog."""
+    """Scalar metrics to JSONL + TensorBoard event files.
 
-    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+    The JSONL stream is the machine-readable log; the event file restores the
+    reference's operating workflow of watching ``loss_with_teacher`` et al.
+    live in TensorBoard (reference: README.md:86-89, models/models.py:289-320).
+    """
+
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: bool = True):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from .tb_events import EventWriter
+            self._tb = EventWriter(log_dir)
 
     def log(self, step: int, metrics: Dict[str, float], prefix: str = ""):
-        entry = {"step": int(step), "time": time.time()}
+        now = time.time()
+        entry = {"step": int(step), "time": now}
         for k, v in metrics.items():
             entry[prefix + k] = float(v)
         self._f.write(json.dumps(entry) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalars(
+                int(step), {prefix + k: float(v) for k, v in metrics.items()},
+                wall_time=now)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class MetricsSaver:
@@ -145,6 +169,28 @@ class MetricsSaver:
         name = f"{self.mode}_step{step:09d}_{key}"
         png = os.path.join(self.out_dir, name + ".png")
         plot_predictions(alignments, ground_truth, predicted, text, key, png)
+        if prediction_record_writer is not None:
+            prediction_record_writer(
+                os.path.join(self.out_dir, name + ".tfrecord"))
+        self._cleanup()
+        return png
+
+    def save_mgc_lf0(self, step: int, key: str, text: str,
+                     alignments: Sequence[np.ndarray],
+                     mgc_gt: np.ndarray, mgc_pred: np.ndarray,
+                     lf0_gt: np.ndarray, lf0_pred: np.ndarray,
+                     prediction_record_writer=None) -> Optional[str]:
+        """MgcLf0MetricsSaver analog: alignment PNG + mgc/lf0 panel PNG +
+        prediction record (reference: modules/metrics.py:79-128 writing
+        alignment_*/mgc_lf0_* PNGs and a result tfrecord via
+        utils/tfrecord.py:160-199)."""
+        if not self.should_save(step):
+            return None
+        name = f"{self.mode}_step{step:09d}_{key}"
+        align_png = os.path.join(self.out_dir, "alignment_" + name + ".png")
+        plot_predictions(alignments, None, None, text, key, align_png)
+        png = os.path.join(self.out_dir, "mgc_lf0_" + name + ".png")
+        plot_mgc_lf0(mgc_gt, mgc_pred, lf0_gt, lf0_pred, key, png)
         if prediction_record_writer is not None:
             prediction_record_writer(
                 os.path.join(self.out_dir, name + ".tfrecord"))
