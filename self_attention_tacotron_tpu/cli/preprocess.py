@@ -22,6 +22,11 @@ def _common_args(p: argparse.ArgumentParser):
     p.add_argument("--source-only", action="store_true")
     p.add_argument("--target-only", action="store_true")
     p.add_argument("--num-workers", type=int, default=0)
+    p.add_argument("--on-device", action="store_true",
+                   help="compute STFT/mel with the fused Pallas matmul-DFT "
+                        "kernel (ops/stft.py) on the accelerator instead of "
+                        "the NumPy path; forces a single worker process "
+                        "(one accelerator context)")
     p.add_argument("--split", default=None, metavar="TRAIN:VAL:TEST",
                    help="also write train/validation/test.csv key lists with "
                         "these fractions (e.g. 0.9:0.05:0.05), seeded shuffle")
@@ -35,6 +40,9 @@ def _load_hp(args):
     if args.hparam_json_file:
         hp.parse_json_file(args.hparam_json_file)
     hp.parse(args.hparams)
+    if getattr(args, "on_device", False):
+        hp = hp.replace(preprocess_on_device=True)
+        args.num_workers = 1  # one accelerator context
     return hp
 
 

@@ -235,6 +235,9 @@ class HParams:        # attribute of flax modules / jit closures)
     trim_frame_length: int = 1024
     trim_hop_length: int = 256
     num_silent_frames: int = 0
+    preprocess_on_device: bool = False  # STFT/mel via the fused Pallas
+    #   matmul-DFT kernel (ops/stft.py) instead of the NumPy path
+    #   (cli/preprocess.py --on-device)
 
     # ======================================================= TPU-native extras
     # (not in the reference; defaults preserve reference behavior)

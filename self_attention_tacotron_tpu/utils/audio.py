@@ -173,13 +173,27 @@ def save_wav(wav: np.ndarray, path: str, sample_rate: int) -> None:
 # ----------------------------------------------------------------- Audio view
 
 class Audio:
-    """Reference-compatible facade (reference: utils/audio.py:23-73)."""
+    """Reference-compatible facade (reference: utils/audio.py:23-73).
+
+    With ``hparams.preprocess_on_device`` the spectrogram/melspectrogram
+    calls route through the fused Pallas matmul-DFT kernel
+    (``ops/stft.MelExtractor``) — same math, computed on the accelerator."""
 
     def __init__(self, hparams):
         self.hparams = hparams
         self._mel_basis = self._build_mel_basis()
         self.average_mel_level_db = np.array(hparams.average_mel_level_db, dtype=np.float32)
         self.stddev_mel_level_db = np.array(hparams.stddev_mel_level_db, dtype=np.float32)
+        self._extractor = None
+
+    def _device_extractor(self):
+        if self._extractor is None:
+            from ..ops.stft import MelExtractor
+            hp = self.hparams
+            self._extractor = MelExtractor(
+                hp.sample_rate, hp.num_freq, hp.num_mels,
+                hp.frame_length_ms, hp.frame_shift_ms, hp.ref_level_db)
+        return self._extractor
 
     def _build_mel_basis(self) -> np.ndarray:
         n_fft = (self.hparams.num_freq - 1) * 2
@@ -221,10 +235,14 @@ class Audio:
 
     def spectrogram(self, y: np.ndarray) -> np.ndarray:
         """Linear-frequency log magnitude (dB re ref_level_db)."""
+        if getattr(self.hparams, "preprocess_on_device", False):
+            return np.asarray(self._device_extractor().linear(y))
         D = self._stft(y)
         return self._amp_to_db(np.abs(D)) - self.hparams.ref_level_db
 
     def melspectrogram(self, y: np.ndarray) -> np.ndarray:
+        if getattr(self.hparams, "preprocess_on_device", False):
+            return np.asarray(self._device_extractor()(y))
         D = self._stft(y)
         S = self._amp_to_db(self._linear_to_mel(np.abs(D))) - self.hparams.ref_level_db
         return S

@@ -72,6 +72,25 @@ def test_mel_extractor_matches_audio_facade():
     np.testing.assert_allclose(S_jax, S_np, atol=0.1)  # db-domain tolerance
 
 
+def test_on_device_audio_facade_parity():
+    """preprocess_on_device routes Audio.spectrogram/melspectrogram through
+    the fused Pallas matmul-DFT kernel; outputs must match the NumPy path
+    in the dB domain (cli/preprocess.py --on-device)."""
+    hp = default_hparams().replace(
+        num_mels=80, num_freq=513, sample_rate=16000,
+        frame_length_ms=50.0, frame_shift_ms=12.5,
+        average_mel_level_db=[0.0] * 80, stddev_mel_level_db=[1.0] * 80)
+    au_np = A.Audio(hp)
+    au_dev = A.Audio(hp.replace(preprocess_on_device=True))
+    rng = np.random.RandomState(0)
+    y = (0.1 * rng.randn(20000)).astype(np.float32)
+    for name in ("spectrogram", "melspectrogram"):
+        S_np = getattr(au_np, name)(y)
+        S_dev = getattr(au_dev, name)(y)
+        assert S_np.shape == S_dev.shape, name
+        np.testing.assert_allclose(S_dev, S_np, atol=0.15, err_msg=name)
+
+
 def test_mel_statistics_stream():
     rng = np.random.RandomState(0)
     frames = rng.randn(1000, 8).astype(np.float32) * 3 + 5
