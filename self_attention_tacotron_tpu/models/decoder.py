@@ -214,6 +214,7 @@ class TacotronDecoder(nn.Module):
                  teacher_forcing: bool = False,
                  speaker_embed: Optional[jax.Array] = None,
                  teacher_alignments: Optional[Sequence[jax.Array]] = None,
+                 want_alignments: bool = False,
                  ) -> DecoderOutput:
         assert len(sources) == self.num_sources
         is_training = mode == DecoderMode.TRAIN
@@ -250,7 +251,8 @@ class TacotronDecoder(nn.Module):
         if is_training and self.use_transformer:
             return self._train_transformer_path(packs, B, num_steps,
                                                 teacher_xs, speaker_embed,
-                                                memory_lengths)
+                                                memory_lengths,
+                                                want_alignments)
         if (mode == DecoderMode.INFERENCE and self.fused_inference
                 and not self.is_initializing()
                 and self._fused_supported(B, teacher_alignments)):
@@ -402,13 +404,15 @@ class TacotronDecoder(nn.Module):
 
     # ------------------------------------------------- train path (parallel)
     def _train_transformer_path(self, packs, B, num_steps, teacher_xs,
-                                speaker_embed, memory_lengths):
+                                speaker_embed, memory_lengths,
+                                want_alignments: bool = False):
         """Teacher-forced RNN scan, then parallel causal hops + heads
         (reference: modules/module.py:743-765)."""
         if (self.fused_train and not self.is_initializing()
                 and self._fused_train_supported(B, packs, teacher_xs)):
             rnn_out, aligns = self._train_scan_fused(packs, B, teacher_xs,
-                                                     speaker_embed)
+                                                     speaker_embed,
+                                                     want_alignments)
         else:
             carry = self._initial_rnn_carry(B, packs)
 
@@ -454,6 +458,10 @@ class TacotronDecoder(nn.Module):
 
         elif on_tpu and B % 8 != 0:
             reason = f"batch {B} is not a multiple of 8 (sublane tiling)"
+        elif (on_tpu and self.fused_train_dtype == "bfloat16"
+              and B % 16 != 0):
+            reason = (f"batch {B} is not a multiple of 16 (bfloat16 "
+                      "save-row sublane tiling)")
         elif on_tpu and any(
                 d % 128 for d in (self.attention_rnn_out_units,
                                   self.decoder_out_units,
@@ -484,15 +492,19 @@ class TacotronDecoder(nn.Module):
             _warn_fused_fallback("[train] " + reason)
         return reason is None
 
-    def _train_scan_fused(self, packs, B, teacher_xs, speaker_embed=None):
+    def _train_scan_fused(self, packs, B, teacher_xs, speaker_embed=None,
+                          want_alignments: bool = False):
         """Run ops/fused_train.fused_teacher_scan on this module's bound
         params.  Identical math to the nn.scan over ``_rnn_step`` (verified
         in tests/test_fused_train.py: forward AND gradients); the in-kernel
         dropout/zoneout PRNG streams differ from XLA's threefry — different
-        but equally valid randomness.  Source-attention alignment
-        probabilities are not materialized in TRAIN mode (zeros) — training
-        plots come from the VALIDATION-mode alignment probe
-        (cli/train.py)."""
+        but equally valid randomness.  TRAIN-mode source alignments are
+        materialized from the kernel's aux save buffer when
+        ``want_alignments`` (or for free whenever a location/forward source
+        already streams them for the backward pass); they are
+        stop_gradient'ed observational outputs for the train-time plots
+        (reference: MetricsSaver on the training graph,
+        models/models.py:191-199).  Otherwise alignments return as zeros."""
         from ..ops import fused_train as ft
 
         def p(module):
@@ -523,7 +535,12 @@ class TacotronDecoder(nn.Module):
                   else 0.0)
         zo_dec = (self.zoneout_factor_output if self.decoder_version == "v2"
                   else 0.0)
-        rnn_out = ft.fused_teacher_scan(
+        # alignments are free whenever a location/forward source already
+        # streams its aux rows for the backward; additive-only configs only
+        # pay the aux DMA when the caller asks for plots
+        save_align = want_alignments or any(k != "additive"
+                                            for k in src_kinds)
+        out = ft.fused_teacher_scan(
             params, keys, values, masks, teacher_xs.astype(jnp.float32),
             seed, drop_rate=self.drop_rate,
             zc_att=self.zoneout_factor_cell,
@@ -534,10 +551,17 @@ class TacotronDecoder(nn.Module):
             speaker_row=speaker_row, src_kinds=src_kinds,
             cumulative=cumulative, loc_ws=tuple(loc_ws),
             loc_kernel=max([getattr(m, "attention_kernel", 1)
-                            for m in self.attention_mechanisms]))
+                            for m in self.attention_mechanisms]),
+            save_align=save_align)
         T_steps = teacher_xs.shape[1]
-        aligns = tuple(jnp.zeros((B, T_steps, pk.values.shape[1]), self.dtype)
-                       for pk in packs)
+        if save_align:
+            rnn_out, aligns = out
+            aligns = tuple(a.astype(self.dtype) for a in aligns)
+        else:
+            rnn_out = out
+            aligns = tuple(
+                jnp.zeros((B, T_steps, pk.values.shape[1]), self.dtype)
+                for pk in packs)
         return rnn_out.astype(self.dtype), aligns
 
     # -------------------------------------------------- decode path (serial)
@@ -665,12 +689,6 @@ class TacotronDecoder(nn.Module):
             return "inference-time prenet dropout is not fused"
         if teacher_alignments is not None:
             return "forced-alignment replay is not fused"
-        from .attention import ForwardAttention, LocationSensitiveAttention
-        if B != 1 and any(
-                isinstance(m, (ForwardAttention, LocationSensitiveAttention))
-                for m in self.attention_mechanisms):
-            return ("location/forward attention is fused for the "
-                    f"batch-1 latency path only (batch {B})")
         return self._fused_attention_unsupported_reason()
 
     def _fused_prenet_params(self, prenet_p, speaker_embed):

@@ -270,7 +270,8 @@ class TacotronModel(nn.Module):
     # -------------------------------------------------------------- __call__
     def __call__(self, batch: Batch, mode: DecoderMode = DecoderMode.TRAIN,
                  teacher_forcing: bool = False,
-                 teacher_alignments: Optional[Sequence[jax.Array]] = None
+                 teacher_alignments: Optional[Sequence[jax.Array]] = None,
+                 want_alignments: bool = False,
                  ) -> TacotronOutput:
         hp = self.hp
         is_training = mode == DecoderMode.TRAIN
@@ -326,7 +327,8 @@ class TacotronModel(nn.Module):
             teacher_forcing=teacher_forcing,
             speaker_embed=(speaker_embedding_output
                            if self._speaker_to_prenet() else None),
-            teacher_alignments=teacher_alignments)
+            teacher_alignments=teacher_alignments,
+            want_alignments=want_alignments)
 
         # ----- postnet (residual refinement of mel frames)
         postnet_outputs = None

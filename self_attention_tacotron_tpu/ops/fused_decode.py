@@ -24,9 +24,11 @@ time as batch 1 — ~6-8x the single-utterance serving throughput.
 
 Supported subset (the reference's serving configuration — everything else
 falls back to the scan path, see models/decoder.py):
-  output_kind "single", additive attention mechanisms (1 or 2 sources),
-  no speaker-embedding prenet routing, no inference dropout, optional
-  causal self-attention hops, batch small enough for VMEM (see
+  output_kind "single"; additive, location-sensitive, or forward attention
+  mechanisms (1 or 2 sources, any batch — location/forward state runs on
+  flattened (B*T, 1) columns exactly like the fused training kernel);
+  MultiSpeakerPreNet speaker rows; no inference dropout; optional causal
+  self-attention hops; batch small enough for VMEM (see
   ``fused_vmem_bytes``).  Source-attention alignments are materialized for
   batch 1 only (serving batches skip the plots).
 
@@ -89,6 +91,43 @@ class FusedDecodeMemory(NamedTuple):
     keys: Tuple[Array, ...]    # per source (B, T_i, U_i)
     values: Tuple[Array, ...]  # per source (B, T_i, C_i)
     masks: Tuple[Array, ...]   # per source (B, T_i) float {1, 0}
+
+
+def _pos_col(B, T):
+    """(B*T, 1) int32: within-block position of each flattened row."""
+    return jax.lax.broadcasted_iota(jnp.int32, (B * T, 1), 0) % T
+
+
+def _shift_col(x, d: int):
+    """out[r] = x[(r + d) mod n] over the flattened rows, as a sublane
+    ROTATE (Mosaic cannot concatenate sublane slices at non-tile offsets).
+
+    The wrap-around rows are exactly the rows every caller masks with
+    ``_shift_mask`` (a wrapped source row always crosses its utterance's
+    block boundary), so rotate+mask equals shift-with-zero-fill."""
+    if d == 0:
+        return x
+    n = x.shape[0]
+    if abs(d) >= n:  # conv kernel wider than the whole flattened column
+        return jnp.zeros_like(x)
+    return pltpu.roll(x, (-d) % n, 0)
+
+
+def _shift_mask(pos, d: int, T: int):
+    """1.0 where row r's within-block source position r+d stays inside
+    its utterance block."""
+    q = pos + d
+    return ((q >= 0) & (q < T)).astype(jnp.float32)
+
+
+def _loc_windows(cv, pos, K: int, T: int):
+    """(B*T, K) conv-input windows: column k holds cv shifted by
+    k - (K-1)//2 with block-crossing rows zeroed — the location conv as
+    ONE (B*T, K) @ (K, U) matmul (flax SAME cross-correlation)."""
+    pad = (K - 1) // 2
+    cols = [_shift_col(cv, k - pad) * _shift_mask(pos, k - pad, T)
+            for k in range(K)]
+    return jnp.concatenate(cols, axis=1)
 
 
 def _mm(a: Array, w: Array) -> Array:
@@ -192,6 +231,9 @@ def _kernel(spec: dict, *refs):
         mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
         ind_s = next(it)              # (B*S, B) indicator for the KV caches
         pos_s = next(it)              # (B*S, 1) int32: position within block
+        # location-based sources in flattened-row form (same math as the
+        # fused training kernel): merged (K, U_i) conv*loc-dense products
+        loc_ws = [next(it) if k != 0 else None for k in spec["src_kinds"]]
     p0_init = next(it)                # (1, P0): first-prenet bias = step-0
     #                                   pre-activation (GO frame is zeros)
     # (B, P0) per-utterance speaker row added after the first layer's ReLU
@@ -249,10 +291,15 @@ def _kernel(spec: dict, *refs):
                      jnp.int32, (n_heads, D), 0)
 
     kinds = spec["src_kinds"]
-    has_loc = row_mode and any(k != 0 for k in kinds)
+    has_loc = any(k != 0 for k in kinds)
     u_sizes = spec["u_sizes"]
     loc_k = spec["loc_kernel"]
     loc_pad = (loc_k - 1) // 2           # flax Conv SAME, cross-correlation
+    if has_loc and not row_mode:
+        # per-source flattened-row position columns for the conv windows
+        pos_mem = [
+            _pos_col(B, keys_ref.shape[0] // B) if k != 0 else None
+            for k, (keys_ref, _, _, _) in zip(kinds, mem)]
 
     def _shift_row(a, d, T):
         """a (n, T) shifted so out[:, t] = a[:, t + d], zero-filled edges."""
@@ -368,10 +415,16 @@ def _kernel(spec: dict, *refs):
                           axis=0, keepdims=True)           # (1, sumC)
         else:
             # batched path: block-indicator matmuls over flattened rows; the
-            # per-source query projections run as one fused matmul
+            # per-source query projections run as one fused matmul.
+            # Location/forward sources run the SAME flattened-row math as
+            # the fused training kernel (ops/fused_train.py _fwd_kernel):
+            # conv windows as one (B*T, K) @ (K, U) matmul, the forward
+            # recursion on (B*T, 1) columns with block-masked shifts.
             pq_all = _mm(h_att, query_all[...])            # (B, sum U_i)
             ctxs = []
             u_off = 0
+            if has_loc:
+                new_cv, new_alpha = list(conv_rows), list(alpha_rows)
             for i, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref) in \
                     enumerate(zip(mem, vs)):
                 u = int(v_ref.shape[0])
@@ -380,16 +433,35 @@ def _kernel(spec: dict, *refs):
                 pq_b = pq_all[:, u_off:u_off + u]          # (B, U)
                 pq = _mm(ind, pq_b)                        # (B*T, U)
                 u_off += u
-                e = jnp.tanh(keys_ref[...].astype(f32) + pq)   # (B*T, U)
+                pre = keys_ref[...].astype(f32) + pq       # (B*T, U)
+                if kinds[i] != 0:
+                    win = _loc_windows(conv_rows[i], pos_mem[i], loc_k, T)
+                    pre = pre + _mm(win, loc_ws[i][...])
+                e = jnp.tanh(pre)
                 e_col = _mm_col(e, v_ref[...])             # (B*T, 1)
                 e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
                 a_col = _block_softmax(e_col, ind, B, T)
+                if kinds[i] == 2:
+                    # forward recursion (reference:
+                    # modules/forward_attention.py:105-122), u fixed at 0.5
+                    ap = alpha_rows[i]
+                    sh = _shift_col(ap, -1) * _shift_mask(pos_mem[i], -1, T)
+                    z_col = (0.5 * ap + 0.5 * sh + 1e-7) * a_col
+                    w_col = z_col / _mm(ind, _block_reduce(ind, z_col))
+                else:
+                    w_col = a_col
+                if kinds[i] != 0:
+                    new_cv[i] = (a_col + conv_rows[i]
+                                 if spec["cumulative"][i] else a_col)
+                    new_alpha[i] = w_col
                 if mat_aligns:
                     align_refs[i][pl.ds(t, 1), :] = \
-                        jnp.transpose(a_col).astype(align_refs[i].dtype)
+                        jnp.transpose(w_col).astype(align_refs[i].dtype)
                 # ctx_b = sum_t a[b,t] * values[b,t,:]
                 ctxs.append(_block_reduce(
-                    ind, a_col * values_ref[...].astype(f32)))  # (B, C_i)
+                    ind, w_col * values_ref[...].astype(f32)))  # (B, C_i)
+            if has_loc:
+                conv_rows, alpha_rows = tuple(new_cv), tuple(new_alpha)
             ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
 
         # DecoderRNNV1/V2: projection + two residual LSTMs.  The projection
@@ -485,7 +557,7 @@ def _kernel(spec: dict, *refs):
                             (B, p0_init.shape[1]))
     carry0 = (p0_0, zeros(cctx), zeros(A), zeros(A),
               zeros(D), zeros(D), zeros(D), zeros(D))
-    if has_loc:
+    if has_loc and row_mode:
         T0 = keys_T.shape[1]
         # alpha init [1, 0, ...] for forward sources (reference:
         # forward_attention.py initial_alignments); conv input starts zero
@@ -495,6 +567,16 @@ def _kernel(spec: dict, *refs):
             [onehot0 if k == 2 else jnp.zeros((1, T0), f32)
              for k in kinds], axis=0)
         carry0 = carry0 + (jnp.zeros((ns, T0), f32), alpha0)
+    elif has_loc:
+        # batched flattened-row state: per-source (B*T, 1) columns
+        cv0 = tuple(
+            jnp.zeros((mem[i][0].shape[0], 1), f32) if k != 0
+            else jnp.zeros((1, 1), f32) for i, k in enumerate(kinds))
+        alpha0 = tuple(
+            (pos_mem[i] == 0).astype(f32) if k == 2
+            else jnp.zeros((mem[i][0].shape[0], 1), f32) if k != 0
+            else jnp.zeros((1, 1), f32) for i, k in enumerate(kinds))
+        carry0 = carry0 + (cv0, alpha0)
     if spec["early_stop"]:
         # dynamic_decode-style early exit: a while_loop that stops once
         # EVERY batch row's stop token has fired (sigmoid > 0.5 past
@@ -582,8 +664,6 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     src_kinds = tuple(kind_ids[k] for k in
                       (src_kinds or ("additive",) * len(memory.keys)))
     cumulative = tuple(cumulative or (False,) * len(memory.keys))
-    assert all(k == 0 for k in src_kinds) or B == 1, \
-        "location/forward attention is fused for batch 1 only"
     u_sizes = tuple(int(vq.shape[0]) for _, vq in params.query)
 
     # B == 1 runs the row-oriented latency path (see _kernel): requires all
@@ -679,6 +759,9 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
         pos_s = jnp.asarray((np.arange(B * S) % S).reshape(B * S, 1),
                             jnp.int32)
         ins += [ind_s, pos_s]
+        for i, k in enumerate(src_kinds):
+            if k != 0:
+                ins += [w(params.loc[i])]
     ins += [w(b0)]
     if speaker_row is not None:
         ins += [jnp.asarray(speaker_row, jnp.float32)]

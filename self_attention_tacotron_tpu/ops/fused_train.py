@@ -44,7 +44,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_decode import _mm, NEG_INF
+from .fused_decode import (_loc_windows, _mm, _pos_col,
+                           _shift_col, _shift_mask, NEG_INF)
 
 Array = jax.Array
 
@@ -88,6 +89,14 @@ class TrainSpec(NamedTuple):
     deterministic: bool           # True: no dropout, expectation zoneout
     compute_dtype: str            # float32 | bfloat16 weight/matmul storage
     interpret: bool
+    dw_block: int = 1             # backward: batch weight-grad matmuls over
+    #                               this many steps (contraction depth
+    #                               dw_block*B instead of B — amortizes the
+    #                               MXU K-dim and deletes per-step bias sums)
+    save_align: bool = False      # materialize per-step source alignments in
+    #                               the aux buffer for EVERY source (loc/fwd
+    #                               sources already stream theirs for the
+    #                               backward, so this is free there)
 
 
 def _pad128(n: int) -> int:
@@ -110,6 +119,66 @@ def _save_layout(spec: TrainSpec):
         offsets[name] = (off, w)
         off += _pad128(w)
     return offsets, off
+
+
+def _dw_stash_layout(spec: TrainSpec):
+    """Column layouts of the backward's two dW stash buffers.
+
+    Per step the backward stashes the LEFT operands (activations) and RIGHT
+    operands (cotangents) of every B-row weight-gradient matmul; every
+    ``dw_block`` steps ONE matmul per pair contracts the whole stash.  The
+    query pair reuses ``zop``'s first A columns (h_att), so it needs no
+    left field of its own.  Returns (offsets_L, width_L, offsets_R, width_R).
+    """
+    A, D = spec.a_units, spec.d_units
+    sumC, sumU = sum(spec.c_sizes), sum(spec.u_sizes)
+    P_last = spec.p_sizes[-1]
+    l_fields = [("z_att", P_last + sumC + A), ("z1", 2 * D), ("z2", 2 * D),
+                ("zop", A + sumC)]
+    r_fields = [("d_gatt", 4 * A), ("d_g1", 4 * D), ("d_g2", 4 * D),
+                ("d_proj", D), ("d_pq", sumU)]
+    for i, p in enumerate(spec.p_sizes):
+        p_in = spec.cf if i == 0 else spec.p_sizes[i - 1]
+        l_fields.append((f"pin{i}", p_in))
+        r_fields.append((f"d_pre{i}", p))
+
+    def lay(fields):
+        offsets, off = {}, 0
+        for name, w in fields:
+            offsets[name] = (off, w)
+            off += _pad128(w)
+        return offsets, off
+
+    off_l, w_l = lay(l_fields)
+    off_r, w_r = lay(r_fields)
+    return off_l, w_l, off_r, w_r
+
+
+def _aux_lanes(spec: TrainSpec):
+    """Lane map of the per-step aux rows: location/forward sources hold
+    [alignment w_col, conv input] pairs (consumed by the backward kernel);
+    with ``save_align`` every additive source appends a w_col lane too.
+    Returns (lane_w, lane_cv, n_lanes) — lane_w covers all sources that
+    write alignments, lane_cv only location-based ones."""
+    lane_w, lane_cv = {}, {}
+    nxt = 0
+    for si, k in enumerate(spec.src_kinds):
+        if k != 0:
+            lane_w[si] = nxt
+            lane_cv[si] = nxt + 1
+            nxt += 2
+    if spec.save_align:
+        for si, k in enumerate(spec.src_kinds):
+            if k == 0:
+                lane_w[si] = nxt
+                nxt += 1
+    return lane_w, lane_cv, nxt
+
+
+def _dw_block_for(batch: int, num_steps: int) -> int:
+    """Contraction-depth target ~256 rows: full MXU K-tiles with one level
+    of pipelining, without outsized stash buffers."""
+    return max(1, min(256 // max(batch, 1), num_steps))
 
 
 VMEM_LIMIT_BYTES = 100 << 20   # compiler limit passed to both pallas_calls
@@ -159,44 +228,9 @@ def estimate_vmem_bytes(*, batch: int, num_steps: int, t_mem: int, cf: int,
            + S * B * D * 4                                # g_y input
            + 3 * B * w_save * 4 + B * cfp * 4)            # rows3 + x scratch
     temps = B * T * (max(up) + max(cp) + 2 * B + 8) * 4   # softmax matrices
-    return bwd + temps
-
-def _pos_col(B, T):
-    """(B*T, 1) int32: within-block position of each flattened row."""
-    return jax.lax.broadcasted_iota(jnp.int32, (B * T, 1), 0) % T
-
-
-def _shift_col(x, d: int):
-    """out[r] = x[(r + d) mod n] over the flattened rows, as a sublane
-    ROTATE (Mosaic cannot concatenate sublane slices at non-tile offsets).
-
-    The wrap-around rows are exactly the rows every caller masks with
-    ``_shift_mask`` (a wrapped source row always crosses its utterance's
-    block boundary), so rotate+mask equals shift-with-zero-fill."""
-    if d == 0:
-        return x
-    n = x.shape[0]
-    if abs(d) >= n:  # conv kernel wider than the whole flattened column
-        return jnp.zeros_like(x)
-    return pltpu.roll(x, (-d) % n, 0)
-
-
-def _shift_mask(pos, d: int, T: int):
-    """1.0 where row r's within-block source position r+d stays inside
-    its utterance block."""
-    q = pos + d
-    return ((q >= 0) & (q < T)).astype(jnp.float32)
-
-
-def _loc_windows(cv, pos, K: int, T: int):
-    """(B*T, K) conv-input windows: column k holds cv shifted by
-    k - (K-1)//2 with block-crossing rows zeroed — the location conv as
-    ONE (B*T, K) @ (K, U) matmul (flax SAME cross-correlation)."""
-    pad = (K - 1) // 2
-    cols = [_shift_col(cv, k - pad) * _shift_mask(pos, k - pad, T)
-            for k in range(K)]
-    return jnp.concatenate(cols, axis=1)
-
+    _, w_l, _, w_r = _dw_stash_layout(spec)
+    stash = _dw_block_for(B, S) * B * (w_l + w_r) * dt    # batched-dW stash
+    return bwd + temps + stash
 
 def _seed_step(seed_ref, t):
     # distinct, deterministic stream per step; fwd and bwd call this with
@@ -315,8 +349,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     f32 = jnp.float32
     kinds = spec.src_kinds
     n_loc = sum(1 for k in kinds if k != 0)
-    loc_lane = {i: 2 * j for j, i in enumerate(
-        i for i, k in enumerate(kinds) if k != 0)}
+    lane_w, lane_cv, n_aux = _aux_lanes(spec)
 
     it = iter(refs)
     mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
@@ -333,16 +366,18 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     lstm2 = (next(it), next(it))
     y_out = next(it)                             # (S*B, D) VMEM output
     save_hbm = next(it)                          # (S*B, w_save) HBM output
-    aux_hbm = next(it) if n_loc else None        # (S*B*T, aux_w) HBM output:
+    aux_hbm = next(it) if n_aux else None        # (S*B*T, aux_w) HBM output:
     #                                              per-step [alpha | conv-in]
     #                                              columns per loc source
+    #                                              (+ alignment lanes when
+    #                                              save_align)
     x_scr = next(it)                             # (B, cf) VMEM scratch
     save_scr = next(it)                          # (2*B, w_save) VMEM scratch,
     #                                              double-buffered save slots
-    aux_scr = next(it) if n_loc else None        # (2*B*T, aux_w)
+    aux_scr = next(it) if n_aux else None        # (2*B*T, aux_w)
     sem_in = next(it)
     sem_out = next(it)                           # DMA sems, one per slot
-    sem_aux = next(it) if n_loc else None
+    sem_aux = next(it) if n_aux else None
     assert next(it, None) is None
 
     BT = B * T
@@ -367,12 +402,13 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
         @pl.when(t >= 2)
         def _():
             _save_dma(t - 2, slot_rows).wait()
-            if n_loc:
+            if n_aux:
                 _aux_dma(t - 2, (t % 2) * BT).wait()
 
         def put(name, value):
             off, w = offsets[name]
-            save_scr[pl.ds(slot_rows, B), off:off + w] = value.astype(f32)
+            save_scr[pl.ds(slot_rows, B), off:off + w] = \
+                value.astype(save_scr.dtype)
 
         def put_aux(lane, value):
             aux_scr[pl.ds((t % 2) * BT, BT), lane:lane + 1] = \
@@ -448,11 +484,13 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
                 w_col = a_col
             ctxs.append(_mm_tA(ind, w_col * values_ref[...].astype(f32)))
             if kind != 0:
-                put_aux(loc_lane[si_], w_col)
-                put_aux(loc_lane[si_] + 1, cv_st[si_])
+                put_aux(lane_w[si_], w_col)
+                put_aux(lane_cv[si_], cv_st[si_])
                 new_cv[si_] = (a_col + cv_st[si_]
                                if spec.cumulative[si_] else a_col)
                 new_alpha[si_] = w_col
+            elif spec.save_align:
+                put_aux(lane_w[si_], w_col)
         ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
         put("ctx", ctx)
 
@@ -490,7 +528,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
         y_out[pl.ds(t * B, B), :] = y.astype(y_out.dtype)
         # fire-and-continue: the copy overlaps the next step's compute
         _save_dma(t, slot_rows).start()
-        if n_loc:
+        if n_aux:
             _aux_dma(t, (t % 2) * BT).start()
         return (c_att_new, h_att_new, c1_new, h1_new, c2_new, h2_new, ctx,
                 tuple(new_cv), tuple(new_alpha))
@@ -511,7 +549,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     # drain the last (up to two) in-flight save copies before kernel exit
     for t in range(max(S - 2, 0), S):
         _save_dma(t, (t % 2) * B).wait()
-        if n_loc:
+        if n_aux:
             _aux_dma(t, (t % 2) * BT).wait()
 
 
@@ -577,8 +615,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     det = spec.deterministic
     kinds = spec.src_kinds
     n_loc = sum(1 for k in kinds if k != 0)
-    loc_lane = {i: 2 * j for j, i in enumerate(
-        i for i, k in enumerate(kinds) if k != 0)}
+    lane_w, lane_cv, _ = _aux_lanes(spec)
     BT = B * T
 
     it = iter(refs)
@@ -617,10 +654,15 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     aux3 = next(it) if n_loc else None            # (3*B*T, aux_w), same
     #                                               rotation for the
     #                                               alignment/conv-in columns
+    stash_l = next(it)                            # (dw_block*B, W_L) cdt
+    stash_r = next(it)                            # (dw_block*B, W_R) cdt
     sem_x = next(it)
     sem_rows = next(it)                           # DMA sems, one per slot
     sem_aux3 = next(it) if n_loc else None
     assert next(it, None) is None
+
+    kblk = spec.dw_block
+    off_l, _, off_r, _ = _dw_stash_layout(spec)
 
     pos = _pos_col(B, T) if n_loc else None
     onehot0 = (pos == 0).astype(f32) if n_loc else None
@@ -644,6 +686,11 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     for r in d_loc_out:
         if r is not None:
             r[...] = jnp.zeros_like(r)
+    if S % kblk:
+        # a partial final stash window reads rows the last full window (or
+        # nothing, when S < kblk) wrote — keep stale cotangent rows zero so
+        # they contribute nothing to the flush matmuls
+        stash_r[...] = jnp.zeros_like(stash_r)
 
     def get(row, name):
         off, w = offsets[name]
@@ -698,6 +745,16 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         x_t = x_scr[...].astype(f32)
         g = g_y[pl.ds(t * B, B), :].astype(f32)
 
+        srow = (k % kblk) * B
+
+        def put_l(name, value):
+            o, w = off_l[name]
+            stash_l[pl.ds(srow, B), o:o + w] = value.astype(stash_l.dtype)
+
+        def put_r(name, value):
+            o, w = off_r[name]
+            stash_r[pl.ds(srow, B), o:o + w] = value.astype(stash_r.dtype)
+
         h_att_t = get(rt, "h_att")
         ctx_t = get(rt, "ctx")
         proj_t = get(rt, "proj")
@@ -720,10 +777,8 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             None if det or spec.zc_dec == 0 else masks["zc2"],
             None if det or spec.zo_dec == 0 else masks["zo2"],
             spec.zc_dec, spec.zo_dec, det)
-        z2 = jnp.concatenate([o1_t, h2_prev], axis=1)
-        d_lstm2[0][...] += mm_dw(z2, d_gates2).astype(d_lstm2[0].dtype)
-        d_lstm2[1][...] += jnp.sum(d_gates2, axis=0,
-                                   keepdims=True).astype(d_lstm2[1].dtype)
+        put_l("z2", jnp.concatenate([o1_t, h2_prev], axis=1))
+        put_r("d_g2", d_gates2)
         d_z2 = _mm_tB(d_gates2, lstm2[0][...])
         d_o1 = d_o1 + d_z2[:, :D]
         new_d_h2 = d_h2_prev + d_z2[:, D:]
@@ -737,20 +792,16 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             None if det or spec.zc_dec == 0 else masks["zc1"],
             None if det or spec.zo_dec == 0 else masks["zo1"],
             spec.zc_dec, spec.zo_dec, det)
-        z1 = jnp.concatenate([proj_t, h1_prev], axis=1)
-        d_lstm1[0][...] += mm_dw(z1, d_gates1).astype(d_lstm1[0].dtype)
-        d_lstm1[1][...] += jnp.sum(d_gates1, axis=0,
-                                   keepdims=True).astype(d_lstm1[1].dtype)
+        put_l("z1", jnp.concatenate([proj_t, h1_prev], axis=1))
+        put_r("d_g1", d_gates1)
         d_z1 = _mm_tB(d_gates1, lstm1[0][...])
         d_proj = d_proj + d_z1[:, :D]
         new_d_h1 = d_h1_prev + d_z1[:, D:]
         new_d_c1 = d_c1_prev
 
         # ---- proj = [h_att, ctx] @ Wop + bop
-        zop = jnp.concatenate([h_att_t, ctx_t], axis=1)
-        d_outproj[0][...] += mm_dw(zop, d_proj).astype(d_outproj[0].dtype)
-        d_outproj[1][...] += jnp.sum(d_proj, axis=0,
-                                     keepdims=True).astype(d_outproj[1].dtype)
+        put_l("zop", jnp.concatenate([h_att_t, ctx_t], axis=1))
+        put_r("d_proj", d_proj)
         d_zop = _mm_tB(d_proj, outproj[0][...])
         d_h_att = d_zop[:, :A]
         d_ctx_total = d_zop[:, A:] + d_ctx_c
@@ -778,8 +829,8 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             pq = _mm(ind, pq_all[:, u_off:u_off + u])
             pre = keys_ref[...].astype(f32) + pq
             if kind != 0:
-                lane = loc_lane[si_]
-                cv_t = aux_t[:, lane + 1:lane + 2]
+                lane_c = lane_cv[si_]
+                cv_t = aux_t[:, lane_c:lane_c + 1]
                 win = _loc_windows(cv_t, pos, spec.loc_kernel, T)
                 pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
@@ -790,7 +841,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 # restore the recursion pieces: alpha_t from this step's
                 # aux row, alpha_{t-1} from the predecessor (the [1,0,...]
                 # init at t=0)
-                lane = loc_lane[si_]
+                lane = lane_w[si_]
                 alpha_t = aux_t[:, lane:lane + 1]
                 ap = jnp.where(first, onehot0, aux_p[:, lane:lane + 1])
                 sh = _shift_col(ap, -1) * _shift_mask(pos, -1, T)
@@ -847,8 +898,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             c_off += c
         d_pq_all = (jnp.concatenate(d_pq_parts, axis=1) if ns > 1
                     else d_pq_parts[0])
-        d_query_all[...] += mm_dw(h_att_t, d_pq_all).astype(
-            d_query_all.dtype)
+        put_r("d_pq", d_pq_all)   # left operand: zop's first A cols (h_att)
         d_h_att = d_h_att + _mm_tB(d_pq_all, query_all[...])
 
         # ---- attention LSTM over z_att = [p_drop, ctx_prev, h_att_prev]
@@ -866,10 +916,9 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             p_drop = a_last
         if spec.use_spk and n_pre == 1:
             p_drop = p_drop + spk[...].astype(f32)
-        z_att = jnp.concatenate([p_drop, ctx_prev, h_att_prev], axis=1)
-        d_att[0][...] += mm_dw(z_att, d_gates_att).astype(d_att[0].dtype)
-        d_att[1][...] += jnp.sum(d_gates_att, axis=0,
-                                 keepdims=True).astype(d_att[1].dtype)
+        put_l("z_att", jnp.concatenate([p_drop, ctx_prev, h_att_prev],
+                                       axis=1))
+        put_r("d_gatt", d_gates_att)
         d_z_att = _mm_tB(d_gates_att, att_lstm[0][...])
         d_p = d_z_att[:, :P_last]
         new_d_ctx = d_z_att[:, P_last:P_last + sumC]
@@ -898,13 +947,47 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                     inp = inp + spk[...].astype(f32)
             else:
                 inp = x_t
-            d_prenet[li][0][...] += mm_dw(inp, d_pre_l).astype(
-                d_prenet[li][0].dtype)
-            d_prenet[li][1][...] += jnp.sum(d_pre_l, axis=0,
-                                            keepdims=True).astype(
-                d_prenet[li][1].dtype)
+            put_l(f"pin{li}", inp)
+            put_r(f"d_pre{li}", d_pre_l)
             if li > 0:
                 d_p = _mm_tB(d_pre_l, prenet[li][0][...])
+
+        # ---- batched dW flush: one contraction of depth dw_block*B per
+        # weight pair every dw_block steps (sum over steps is order-free)
+        @pl.when((k % kblk == kblk - 1) | (t == 0))
+        def _():
+            def col_l(name):
+                o, w = off_l[name]
+                return stash_l[:, o:o + w]
+
+            def col_r(name):
+                o, w = off_r[name]
+                return stash_r[:, o:o + w]
+
+            def acc(w_ref, ln, rn):
+                w_ref[...] += _mm_tA(col_l(ln), col_r(rn)).astype(w_ref.dtype)
+
+            def acc_b(b_ref, rn):
+                b_ref[...] += jnp.sum(col_r(rn).astype(f32), axis=0,
+                                      keepdims=True).astype(b_ref.dtype)
+
+            acc(d_att[0], "z_att", "d_gatt")
+            acc_b(d_att[1], "d_gatt")
+            acc(d_lstm1[0], "z1", "d_g1")
+            acc_b(d_lstm1[1], "d_g1")
+            acc(d_lstm2[0], "z2", "d_g2")
+            acc_b(d_lstm2[1], "d_g2")
+            acc(d_outproj[0], "zop", "d_proj")
+            acc_b(d_outproj[1], "d_proj")
+            o_z, _ = off_l["zop"]
+            d_query_all[...] += _mm_tA(
+                stash_l[:, o_z:o_z + A], col_r("d_pq")
+            ).astype(d_query_all.dtype)
+            for li in range(n_pre):
+                acc(d_prenet[li][0], f"pin{li}", f"d_pre{li}")
+                acc_b(d_prenet[li][1], f"d_pre{li}")
+            if S % kblk:
+                stash_r[...] = jnp.zeros_like(stash_r)
 
         return (new_d_c_att, new_d_h_att, new_d_c1, new_d_h1,
                 new_d_c2, new_d_h2, new_d_ctx,
@@ -952,7 +1035,7 @@ def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     _, w_save = layout
     B, S, D = spec.batch, spec.num_steps, spec.d_units
     T = spec.t_mem
-    n_loc = sum(1 for k in spec.src_kinds if k != 0)
+    _, _, n_aux = _aux_lanes(spec)
     ins = _mem_ins(spec, keys, values, masks)
     ins += [seed_i.reshape(1), teacher_flat, spk]
     ins += [lw for lw in loc_ws if lw is not None]
@@ -964,18 +1047,19 @@ def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(ins) - n_mem
                                                            - 2)
+    sdt = jnp.dtype(spec.compute_dtype)   # bf16 halves save-buffer traffic
     out_shapes = [jax.ShapeDtypeStruct((S * B, D), jnp.float32),
-                  jax.ShapeDtypeStruct((S * B, w_save), jnp.float32)]
+                  jax.ShapeDtypeStruct((S * B, w_save), sdt)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM),
                  pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
-    scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
-               pltpu.VMEM((2 * B, w_save), jnp.float32)]
-    if n_loc:
+    scratch = [pltpu.VMEM((B, spec.cf), teacher_flat.dtype),
+               pltpu.VMEM((2 * B, w_save), sdt)]
+    if n_aux:
         out_shapes += [jax.ShapeDtypeStruct((S * B * T, AUX_W), jnp.float32)]
         out_specs += [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
         scratch += [pltpu.VMEM((2 * B * T, AUX_W), jnp.float32)]
     scratch += [pltpu.SemaphoreType.DMA(()), pltpu.SemaphoreType.DMA((2,))]
-    if n_loc:
+    if n_aux:
         scratch += [pltpu.SemaphoreType.DMA((2,))]
     outs = pl.pallas_call(
         functools.partial(_fwd_kernel, spec, layout),
@@ -986,7 +1070,7 @@ def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
             vmem_limit_bytes=100 << 20),
         interpret=spec.interpret,
     )(*ins)
-    if n_loc:
+    if n_aux:
         y_flat, save, aux = outs
     else:
         (y_flat, save), aux = outs, None
@@ -1031,10 +1115,15 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     out_shapes += [jax.ShapeDtypeStruct(spk.shape, jnp.float32)]
     out_shapes += [jax.ShapeDtypeStruct(lw.shape, jnp.float32)
                    for lw in loc_live]
-    scratch = [pltpu.VMEM((B, spec.cf), jnp.float32),
-               pltpu.VMEM((3 * B, w_save), jnp.float32)]
+    sdt = jnp.dtype(spec.compute_dtype)
+    scratch = [pltpu.VMEM((B, spec.cf), teacher_flat.dtype),
+               pltpu.VMEM((3 * B, w_save), sdt)]
     if n_loc:
         scratch += [pltpu.VMEM((3 * B * T, AUX_W), jnp.float32)]
+    _, w_l, _, w_r = _dw_stash_layout(spec)
+    cdt = jnp.dtype(spec.compute_dtype)
+    scratch += [pltpu.VMEM((spec.dw_block * B, w_l), cdt),
+                pltpu.VMEM((spec.dw_block * B, w_r), cdt)]
     scratch += [pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA((3,))]
     if n_loc:
@@ -1085,22 +1174,30 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_scan_core(spec: TrainSpec, params, keys, values, masks,
                      teacher_flat, seed_f, spk, loc_ws):
-    y, _, _ = _fwd_call(spec, params, keys, values, masks, teacher_flat,
-                        seed_f.astype(jnp.int32), spk, loc_ws)
-    return y
+    """Returns (y, aux) — aux carries the per-step alignment/conv-input
+    columns (dummy (1, 1) zeros when no source writes aux rows).  The aux
+    output is observational (plots): its cotangent is discarded by the VJP,
+    so consumers must not differentiate through it (the caller wraps it in
+    ``stop_gradient``)."""
+    y, _, aux = _fwd_call(spec, params, keys, values, masks, teacher_flat,
+                          seed_f.astype(jnp.int32), spk, loc_ws)
+    return y, (aux if aux is not None
+               else jnp.zeros((1, 1), jnp.float32))
 
 
 def _core_fwd(spec, params, keys, values, masks, teacher_flat, seed_f, spk,
               loc_ws):
     y, save, aux = _fwd_call(spec, params, keys, values, masks, teacher_flat,
                              seed_f.astype(jnp.int32), spk, loc_ws)
-    return y, (params, keys, values, masks, teacher_flat, seed_f, spk,
-               loc_ws, save, aux)
+    aux_out = aux if aux is not None else jnp.zeros((1, 1), jnp.float32)
+    return (y, aux_out), (params, keys, values, masks, teacher_flat, seed_f,
+                          spk, loc_ws, save, aux)
 
 
-def _core_bwd(spec, res, g_flat):
+def _core_bwd(spec, res, g):
     (params, keys, values, masks, teacher_flat, seed_f, spk, loc_ws,
      save, aux) = res
+    g_flat = g[0]   # aux output is observational; its cotangent is dropped
     d_params, d_keys, d_values, d_spk, d_loc = _bwd_call(
         spec, params, keys, values, masks, teacher_flat,
         seed_f.astype(jnp.int32), spk, loc_ws,
@@ -1137,8 +1234,8 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                        compute_dtype: str = "float32",
                        p_dropout=None, speaker_row=None,
                        src_kinds=None, cumulative=None, loc_kernel: int = 31,
-                       loc_ws=None,
-                       interpret: bool = None) -> Array:
+                       loc_ws=None, save_align: bool = False,
+                       dw_block: int = None, interpret: bool = None):
     """Run the teacher-forced RNN trunk as fused fwd/bwd kernels.
 
     Args: keys/values (B, T_mem, U/C) per source, masks (B, T_mem) float,
@@ -1210,7 +1307,7 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
     masks_p = tuple(jnp.asarray(m, jnp.float32).reshape(B * T_mem, 1)
                     for m in masks)
     teacher_flat = _pad_cols(
-        jnp.moveaxis(teacher_xs, 0, 1).astype(jnp.float32), cfp
+        jnp.moveaxis(teacher_xs, 0, 1).astype(cdt), cfp
     ).reshape(T_steps * B, cfp)
 
     if p_dropout is None:
@@ -1239,11 +1336,26 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                      zc_dec=float(zc_dec), zo_dec=float(zo_dec),
                      deterministic=bool(deterministic),
                      compute_dtype=str(compute_dtype),
-                     interpret=bool(interpret))
+                     interpret=bool(interpret),
+                     dw_block=(int(dw_block) if dw_block
+                               else _dw_block_for(B, T_steps)),
+                     save_align=bool(save_align))
     seed_f = (jnp.asarray(seed, jnp.int32) % jnp.int32(1 << 23)
               ).astype(jnp.float32)
     spk = (jnp.zeros((B, p_sizes[0]), jnp.float32) if speaker_row is None
            else jnp.asarray(speaker_row, jnp.float32))
-    y_flat = _fused_scan_core(spec, params_p, keys_p, values_p, masks_p,
-                              teacher_flat, seed_f, spk, loc_ws_p)
-    return jnp.moveaxis(y_flat.reshape(T_steps, B, D), 0, 1)
+    y_flat, aux_flat = _fused_scan_core(spec, params_p, keys_p, values_p,
+                                        masks_p, teacher_flat, seed_f, spk,
+                                        loc_ws_p)
+    out = jnp.moveaxis(y_flat.reshape(T_steps, B, D), 0, 1)
+    if not save_align:
+        return out
+    # alignment lanes -> per-source (B, T_steps, T_mem); observational only
+    # (the aux cotangent is dropped by the VJP), hence stop_gradient
+    lane_w, _, _ = _aux_lanes(spec)
+    aux_flat = jax.lax.stop_gradient(aux_flat)
+    aligns = tuple(
+        jnp.moveaxis(
+            aux_flat[:, lane_w[si]].reshape(T_steps, B, T_mem), 0, 1)
+        for si in range(len(keys)))
+    return out, aligns

@@ -79,8 +79,17 @@ def _model_variables(state: TrainState) -> dict:
 
 def make_train_step(model: TacotronModel, hp: HParams,
                     mesh: Optional[Mesh] = None,
-                    donate: bool = True) -> Callable:
-    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``."""
+                    donate: bool = True,
+                    with_alignments: bool = False) -> Callable:
+    """Returns jitted ``train_step(state, batch, rng) -> (state, metrics)``.
+
+    With ``with_alignments`` the step additionally returns
+    ``(alignments_row0, outputs_row0)`` from the TRAIN-mode forward — the
+    teacher-forced training-graph artifacts the reference's train-time
+    MetricsSaver plots (reference: models/models.py:191-199) — replicated
+    over the mesh so every host can read them.  Callers jit this variant
+    only for plot steps; the plain variant stays free of the alignment
+    materialization cost on additive configs."""
     tx = make_optimizer(hp)
 
     def loss_fn(params, state: TrainState, batch: Batch, rng):
@@ -92,18 +101,19 @@ def make_train_step(model: TacotronModel, hp: HParams,
         rngs = {"dropout": jax.random.fold_in(rng, 0),
                 "zoneout": jax.random.fold_in(rng, 1)}
         mutable = ["batch_stats"] if state.batch_stats else []
+        kw = dict(want_alignments=True) if with_alignments else {}
         out, mutated = model.apply(variables, batch, DecoderMode.TRAIN,
-                                   rngs=rngs, mutable=mutable) \
+                                   rngs=rngs, mutable=mutable, **kw) \
             if mutable else (model.apply(variables, batch, DecoderMode.TRAIN,
-                                         rngs=rngs), {})
+                                         rngs=rngs, **kw), {})
         losses = compute_loss(hp, out, batch, params)
         new_batch_stats = mutated.get("batch_stats", state.batch_stats)
-        return losses["loss"], (losses, new_batch_stats)
+        return losses["loss"], (losses, new_batch_stats, out)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (loss, (losses, new_batch_stats)), grads = grad_fn(
+        (loss, (losses, new_batch_stats, out)), grads = grad_fn(
             state.params, state, batch, rng)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -118,6 +128,14 @@ def make_train_step(model: TacotronModel, hp: HParams,
                                batch_stats=new_batch_stats,
                                constants=state.constants,
                                opt_state=new_opt_state)
+        if with_alignments:
+            plot = (tuple(jax.lax.stop_gradient(a[0])
+                          for a in out.alignments),
+                    jax.lax.stop_gradient(out.outputs[0]))
+            if mesh is not None:
+                plot = jax.lax.with_sharding_constraint(
+                    plot, replicated_sharding(mesh))
+            return new_state, metrics, plot
         return new_state, metrics
 
     # Sharding is carried by input placement: callers put the batch through

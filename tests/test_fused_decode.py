@@ -176,9 +176,32 @@ def test_fused_matches_scan_location_sensitive_cumulative():
     _assert_close(ref, fused)
 
 
-def test_fused_forward_attention_falls_back_batched():
-    """Batched location/forward attention uses the scan path (logged)."""
-    ref, fused = _infer_pair({"attention": "forward"}, B=2)
+def test_fused_matches_scan_forward_attention_batched():
+    """Batched (B=3) forward attention runs fused: the recursion state
+    lives on flattened (B*T, 1) columns with block-masked shifts, same as
+    the fused training kernel."""
+    ref, fused = _infer_pair({"attention": "forward",
+                              "cumulative_weights": False,
+                              "attention_kernel": 10,
+                              "attention_filters": 5}, B=3)
+    _assert_close(ref, fused, check_aligns=False)
+
+
+def test_fused_matches_scan_location_sensitive_batched():
+    ref, fused = _infer_pair({"attention": "location_sensitive",
+                              "cumulative_weights": True,
+                              "attention_kernel": 7,
+                              "attention_filters": 4}, B=3)
+    _assert_close(ref, fused, check_aligns=False)
+
+
+def test_fused_matches_scan_recipe_batched():
+    """The shipped recipe feature set (forward attention + speaker prenet)
+    serving at B=2 — previously a logged fallback, now fused."""
+    ref, fused = _infer_pair({
+        "attention": "forward", "cumulative_weights": False,
+        "attention_kernel": 10, "attention_filters": 5,
+        "use_speaker_embedding": True, "num_speakers": 3}, B=2)
     _assert_close(ref, fused, check_aligns=False)
 
 

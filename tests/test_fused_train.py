@@ -166,6 +166,27 @@ def test_gradients_match_reference():
                                    rtol=5e-4, atol=5e-5, err_msg=f"leaf {i}")
 
 
+def test_gradients_match_with_partial_dw_window():
+    """dw_block=2 over S=5 steps leaves a 1-step tail window: the stash's
+    stale cotangent rows must be zeroed so the final flush adds nothing
+    spurious (the batched weight-gradient accumulation's edge case)."""
+    p = make_params(jax.random.PRNGKey(0))
+    keys, values, masks, teacher = make_inputs(jax.random.PRNGKey(1))
+
+    def lf(p_):
+        y = fused_teacher_scan(p_, keys, values, masks, teacher,
+                               jnp.int32(0), dw_block=2, **FUSED_KW)
+        return jnp.sum(y ** 2)
+
+    g_f = jax.grad(lf)(p)
+    g_r = jax.grad(lambda p_: jnp.sum(reference_scan(
+        p_, keys, values, masks, teacher) ** 2))(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_gradients_match_with_deterministic_zoneout():
     zk = dict(zc_att=0.1, zo_att=0.1, zc_dec=0.1, zo_dec=0.1)
 
@@ -265,8 +286,40 @@ def test_decoder_fused_train_matches_scan():
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
-    # fused TRAIN mode does not materialize source alignments
+    # additive-only fused TRAIN skips alignment materialization unless asked
     assert all(np.all(np.asarray(a) == 0) for a in out_f.alignments)
+
+
+def test_decoder_fused_train_want_alignments_matches_scan():
+    """want_alignments=True materializes TRAIN-mode source alignments from
+    the fused kernel's aux buffer; they must equal the nn.scan path's
+    (additive config, deterministic)."""
+    from self_attention_tacotron_tpu.models import (DecoderMode,
+                                                    tacotron_model_factory)
+    from test_tacotron_model import make_batch, tiny_hp
+
+    kw = dict(encoder_prenet_drop_rate=0.0, decoder_prenet_drop_rate=0.0,
+              self_attention_drop_rate=0.0,
+              decoder_self_attention_drop_rate=0.0,
+              zoneout_factor_cell=0.0, zoneout_factor_output=0.0)
+    hp = tiny_hp(**kw)
+    hp_f = tiny_hp(decoder_fused_train=True, **kw)
+    batch = make_batch(hp, B=2, T_in=7, T_out=6)
+    model = tacotron_model_factory(hp)
+    model_f = tacotron_model_factory(hp_f)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           DecoderMode.VALIDATION, True)
+    rngs = {"dropout": jax.random.PRNGKey(1),
+            "zoneout": jax.random.PRNGKey(2)}
+    out_ref, _ = model.apply(variables, batch, DecoderMode.TRAIN, rngs=rngs,
+                             mutable=["batch_stats"], want_alignments=True)
+    out_f, _ = model_f.apply(variables, batch, DecoderMode.TRAIN, rngs=rngs,
+                             mutable=["batch_stats"], want_alignments=True)
+    assert len(out_f.alignments) == len(out_ref.alignments)
+    for a_f, a_r in zip(out_f.alignments, out_ref.alignments):
+        assert float(np.abs(np.asarray(a_f)).max()) > 0
+        np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_r),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_decoder_fused_train_fallback_logs(caplog):
@@ -465,3 +518,9 @@ def test_decoder_fused_train_forward_attention_matches_scan():
             loc_leaves += 1
             assert float(np.max(np.abs(np.asarray(leaves_r[path])))) > 0, name
     assert loc_leaves >= 3  # conv kernel + conv bias + location dense
+    # location/forward configs stream their alignments anyway, so TRAIN-mode
+    # alignments materialize for free and must match the scan path's
+    for a_f, a_r in zip(out_f.alignments, out_ref.alignments):
+        assert float(np.abs(np.asarray(a_f)).max()) > 0
+        np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_r),
+                                   rtol=2e-4, atol=2e-5)
