@@ -126,7 +126,8 @@ def main(argv=None) -> int:
                  jax.local_device_count(), jax.device_count())
 
     from ..data.dataset import (dataset_factory, find_dataset_files,
-                                load_key_list, to_model_batch)
+                                load_key_list, pad_model_batch_rows,
+                                to_model_batch)
     from ..models import tacotron_model_factory, compute_loss
     from ..parallel import (create_mesh, create_train_state, make_eval_step,
                             make_train_step)
@@ -225,6 +226,13 @@ def main(argv=None) -> int:
         state = jax.device_put(state, replicated_sharding(mesh))
 
     train_step = make_train_step(model, hp, mesh=mesh if n_dev > 1 else None)
+    # plot-step variant: same update, but the TRAIN-mode forward also
+    # returns row-0 alignments/outputs (replicated), so train-time plots
+    # come from the training graph itself — no extra VALIDATION probe pass
+    # (reference: MetricsSaver on the train graph, models/models.py:191-199)
+    train_step_plot = make_train_step(model, hp,
+                                      mesh=mesh if n_dev > 1 else None,
+                                      with_alignments=True)
     eval_step = make_eval_step(model, hp)
     # metrics/plots are written by the coordinator only (the analog of the
     # reference's single chief worker); other hosts train silently
@@ -238,19 +246,6 @@ def main(argv=None) -> int:
     train_saver = MetricsSaver(os.path.join(args.checkpoint_dir, "alignments"),
                                save_steps=hp.alignment_save_steps,
                                mode="train") if coordinator else None
-
-    import functools
-
-    @functools.partial(jax.jit)
-    def alignment_probe(state, mb):
-        from ..models import DecoderMode
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        if state.constants:
-            variables["constants"] = state.constants
-        out = model.apply(variables, mb, DecoderMode.VALIDATION, True)
-        return out.alignments, out.outputs
 
     rng = jax.random.PRNGKey(hp.seed)
     t_last = time.time()
@@ -271,9 +266,30 @@ def main(argv=None) -> int:
             if n == 0:
                 aligns = [np.asarray(a[0]) for a in out_free.alignments]
                 pred = np.asarray(out_free.outputs[0])
-                gt = nb.target[0] if nb.target is not None else None
-                eval_saver.save(step_no, nb.meta[0].key, nb.meta[0].text,
-                                aligns, gt, pred)
+                if model.is_mgclf0:
+                    # mgc/lf0 artifact path: panel plots + prediction record
+                    # (reference: modules/metrics.py:79-128 MgcLf0MetricsSaver,
+                    # utils/tfrecord.py:160-199)
+                    from ..data.records import (MgcLf0PredictionRecord,
+                                                write_mgc_lf0_prediction_record)
+                    lf0_pred = np.asarray(jax.nn.softmax(
+                        out_free.outputs2[0], axis=-1))
+                    meta = nb.meta[0]
+                    src = nb.source[0][:int(nb.source_length[0])]
+                    rec = MgcLf0PredictionRecord(
+                        id=meta.id, key=meta.key, mgc=pred,
+                        ground_truth_mgc=nb.target[0], lf0=lf0_pred,
+                        ground_truth_lf0=nb.target2[0], alignments=aligns,
+                        text=meta.text, source=src)
+                    eval_saver.save_mgc_lf0(
+                        step_no, meta.key, meta.text, aligns, nb.target[0],
+                        pred, nb.target2[0], lf0_pred,
+                        prediction_record_writer=lambda p: (
+                            write_mgc_lf0_prediction_record(rec, p)))
+                else:
+                    gt = nb.target[0] if nb.target is not None else None
+                    eval_saver.save(step_no, nb.meta[0].key, nb.meta[0].text,
+                                    aligns, gt, pred)
             n += 1
         if n:
             acc = {k: v / n for k, v in acc.items()}
@@ -292,7 +308,11 @@ def main(argv=None) -> int:
             mb = assemble_global_batch(mb_local, mesh)
         elif n_dev > 1:
             if nb.source.shape[0] % n_dev != 0:
-                continue  # partial batches are not shardable
+                # remainder batch: pad with loss-neutral rows (masks zeroed)
+                # instead of dropping data — see data.dataset.pad_model_batch_rows
+                mb_local, n_padded = pad_model_batch_rows(mb_local, n_dev)
+                log.info("padded remainder batch %d -> %d rows",
+                         nb.source.shape[0], nb.source.shape[0] + n_padded)
             mb = shard_batch(mb_local, mesh)
         else:
             mb = mb_local
@@ -301,7 +321,15 @@ def main(argv=None) -> int:
             jax.profiler.start_trace(os.path.join(args.checkpoint_dir,
                                                   "profile"))
             profiling = True
-        state, metrics = train_step(state, mb, rng)
+        # the plot-variant decision must be identical on every host (driven
+        # by the shared step counter, never by coordinator-only state)
+        will_plot = (hp.alignment_save_steps > 0
+                     and (step_no + 1) % hp.alignment_save_steps == 0)
+        plot_payload = None
+        if will_plot:
+            state, metrics, plot_payload = train_step_plot(state, mb, rng)
+        else:
+            state, metrics = train_step(state, mb, rng)
         step_no = int(state.step)
         if profiling and step_no >= hp.profile_steps + 5:
             jax.profiler.stop_trace()
@@ -315,17 +343,14 @@ def main(argv=None) -> int:
                 metrics_log.log(step_no, scalars)
             log.info("step %d loss %.5f (%.3fs)", step_no, scalars["loss"],
                      scalars["sec_per_step"])
-        if train_saver and train_saver.should_save(step_no):
+        if train_saver and plot_payload is not None:
             try:
-                # global arrays may only enter computations every process
-                # runs; the coordinator-only probe uses host-local copies
-                probe_state = host_local_copy(state) if multihost else state
-                aligns, outputs = alignment_probe(probe_state, mb_local)
+                aligns0, out0 = plot_payload
                 gt = nb.target if nb.target is not None else None
                 train_saver.save(step_no, nb.meta[0].key, nb.meta[0].text,
-                                 [np.asarray(a[0]) for a in aligns],
+                                 [np.asarray(a) for a in aligns0],
                                  gt[0] if gt is not None else None,
-                                 np.asarray(outputs[0]))
+                                 np.asarray(out0))
             except Exception as e:  # plots must never kill training
                 log.warning("alignment save failed: %s", e)
         # every process calls save (orbax coordinates; the primary writes)

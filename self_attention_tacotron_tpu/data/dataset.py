@@ -520,6 +520,39 @@ def to_model_batch(nb: NumpyBatch):
                               if nb.accent_type is not None else None))
 
 
+def pad_model_batch_rows(mb, multiple: int):
+    """Pad a model Batch's rows up to a multiple of ``multiple``.
+
+    Padded rows repeat the last real row but with ZEROED loss masks, so they
+    contribute nothing to any loss or gradient (every loss in ``ops/losses``
+    normalizes by the mask sum).  This lets a remainder batch shard over the
+    device mesh instead of being silently dropped.  Returns
+    ``(padded_batch, n_padded_rows)``.
+    """
+    import jax
+
+    B = mb.source.shape[0]
+    pad = (-B) % multiple
+    if pad == 0:
+        return mb, 0
+
+    def pad_rows(x):
+        x = np.asarray(x)
+        return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+    padded = jax.tree_util.tree_map(pad_rows, mb)
+    def zero_tail(mask):
+        if mask is None:
+            return None
+        mask = mask.copy()
+        mask[B:] = 0.0
+        return mask
+    padded = padded._replace(
+        spec_loss_mask=zero_tail(padded.spec_loss_mask),
+        binary_loss_mask=zero_tail(padded.binary_loss_mask))
+    return padded, pad
+
+
 def find_dataset_files(data_root: str, key_list: Sequence[str],
                        extension: str) -> List[str]:
     """<root>/<key>.<extension> for each selected key
