@@ -170,17 +170,28 @@ def _lstm_gates(gates: Array, c_prev: Array, h_prev: Array,
                 zc: float, zo: float) -> Tuple[Array, Array]:
     """ZoneoutLSTMCell step from precomputed gate pre-activations
     (ops/rnn.py:49-76), deterministic zoneout.  The +1.0 forget bias is
-    FOLDED INTO the bias row at wiring time (_fold_forget_bias)."""
+    FOLDED INTO the bias row at wiring time (_fold_forget_bias), and the
+    gate columns are PERMUTED to [g | i f o] (_reorder_gifo) so the three
+    sigmoids issue as ONE VPU op on the serial chain."""
     a = gates.shape[1] // 4
-    i, g = gates[:, :a], gates[:, a:2 * a]
-    f, o = gates[:, 2 * a:3 * a], gates[:, 3 * a:]
-    c_new = c_prev * jax.nn.sigmoid(f) + jax.nn.sigmoid(i) * jnp.tanh(g)
-    h_new = jnp.tanh(c_new) * jax.nn.sigmoid(o)
+    g = gates[:, :a]
+    ifo = jax.nn.sigmoid(gates[:, a:])
+    i, f, o = ifo[:, :a], ifo[:, a:2 * a], ifo[:, 2 * a:]
+    c_new = c_prev * f + i * jnp.tanh(g)
+    h_new = jnp.tanh(c_new) * o
     if zc > 0.0:
         c_new = (1.0 - zc) * c_new + zc * c_prev
     if zo > 0.0:
         h_new = (1.0 - zo) * h_new + zo * h_prev
     return c_new, h_new
+
+
+def _reorder_gifo(x: Array) -> Array:
+    """Permute LSTM gate columns [i g f o] -> [g i f o] (weights or bias
+    rows), matching ``_lstm_gates``'s fused-sigmoid layout."""
+    a = x.shape[-1] // 4
+    return jnp.concatenate([x[..., a:2 * a], x[..., :a], x[..., 2 * a:]],
+                           axis=-1)
 
 
 def _lstm(z: Array, w_ref, b_ref, c_prev: Array, h_prev: Array,
@@ -374,8 +385,24 @@ def _kernel(spec: dict, *refs):
             e_rows = jnp.where(mask_rows[...] > 0.5, e_rows, NEG_INF)
             m = jnp.max(e_rows, axis=1, keepdims=True)
             ex = jnp.exp(e_rows - m)
-            a_rows = ex / jnp.sum(ex, axis=1, keepdims=True)   # (ns, T)
+            recip = 1.0 / jnp.sum(ex, axis=1, keepdims=True)   # (ns, 1)
+            if not has_loc:
+                # additive-only: defer the normalization PAST the context
+                # matmul — the per-row scale cancels into a tiny (ns, sumC)
+                # multiply, and the (ns, T) divide leaves the serial chain
+                # (the alignment store's normalize is a dead-end branch the
+                # scheduler overlaps with the matmul)
+                if mat_aligns:
+                    align_refs[0][pl.ds(t * ns, ns), :] = \
+                        (ex * recip).astype(align_refs[0].dtype)
+                ctx_all = jax.lax.dot_general(
+                    ex, values_cat[...].astype(f32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)                # (ns, sumC)
+                ctx = jnp.sum(ctx_all * ctx_mask[...].astype(f32) * recip,
+                              axis=0, keepdims=True)           # (1, sumC)
             if has_loc:
+                a_rows = ex * recip                            # (ns, T)
                 # forward-attention recursion (reference:
                 # modules/forward_attention.py:105-122) and per-source
                 # conv-input/alignment state updates.  The transition agent
@@ -399,20 +426,21 @@ def _kernel(spec: dict, *refs):
                 a_rows = jnp.concatenate(out_rows, axis=0)
                 conv_rows = jnp.concatenate(new_conv, axis=0)
                 alpha_rows = jnp.concatenate(new_alpha, axis=0)
-            if mat_aligns:
-                # both sources' rows land in ONE store
-                align_refs[0][pl.ds(t * ns, ns), :] = \
-                    a_rows.astype(align_refs[0].dtype)
-            # per-source contexts in ONE matmul: row i of
-            # a_rows @ values_cat holds [a_i . V_1 | a_i . V_2 | ...]; the
-            # wanted context is block i of row i — selected by mask+sum
-            # (lane-offset slices + concat are not Mosaic-layout-friendly)
-            ctx_all = jax.lax.dot_general(
-                a_rows, values_cat[...].astype(f32),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32)                # (ns, sumC)
-            ctx = jnp.sum(ctx_all * ctx_mask[...].astype(f32),
-                          axis=0, keepdims=True)           # (1, sumC)
+                if mat_aligns:
+                    # both sources' rows land in ONE store
+                    align_refs[0][pl.ds(t * ns, ns), :] = \
+                        a_rows.astype(align_refs[0].dtype)
+                # per-source contexts in ONE matmul: row i of
+                # a_rows @ values_cat holds [a_i . V_1 | a_i . V_2 | ...];
+                # the wanted context is block i of row i — selected by
+                # mask+sum (lane-offset slices + concat are not
+                # Mosaic-layout-friendly)
+                ctx_all = jax.lax.dot_general(
+                    a_rows, values_cat[...].astype(f32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)            # (ns, sumC)
+                ctx = jnp.sum(ctx_all * ctx_mask[...].astype(f32),
+                              axis=0, keepdims=True)       # (1, sumC)
         else:
             # batched path: block-indicator matmuls over flattened rows; the
             # per-source query projections run as one fused matmul.
@@ -736,13 +764,13 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     #  * the head matmul also emits the NEXT step's first-prenet
     #    pre-activation: feedback slice times W0, premultiplied
     Wop, bop = params.outproj
-    W1, b1 = params.lstm1
+    W1 = _reorder_gifo(params.lstm1[0])
+    b1 = _reorder_gifo(_fold_forget_bias(params.lstm1[1]))
     w_big = jnp.concatenate([
         jnp.concatenate([Wop @ W1[:D], Wop], axis=1),
         jnp.concatenate([W1[D:], jnp.zeros((D, D), W1.dtype)], axis=1),
     ], axis=0)                                       # (A+sumC+D, 5D)
-    b_big = jnp.concatenate(
-        [_fold_forget_bias(b1) + bop @ W1[:D], bop], axis=1)
+    b_big = jnp.concatenate([b1 + bop @ W1[:D], bop], axis=1)
     head_pad = ((cr + 1 + 127) // 128) * 128         # 128-aligned fb offset
     Wh, bh = params.head
     w_fb = Wh[:, cr - cf:cr] @ W0                    # (D, P0)
@@ -767,13 +795,15 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
         ins += [jnp.asarray(speaker_row, jnp.float32)]
     for wt, b in params.prenet[1:]:
         ins += [w(wt), w(b)]
-    ins += [w(params.att_lstm[0]), w(_fold_forget_bias(params.att_lstm[1]))]
+    ins += [w(_reorder_gifo(params.att_lstm[0])),
+            w(_reorder_gifo(_fold_forget_bias(params.att_lstm[1])))]
     # all source query projections fused into one matmul
     ins += [w(jnp.concatenate([wq for wq, _ in params.query], axis=1))]
     if not row_mode:
         ins += [w(v) for _, v in params.query]
     ins += [w(w_big), w(b_big),
-            w(params.lstm2[0]), w(_fold_forget_bias(params.lstm2[1]))]
+            w(_reorder_gifo(params.lstm2[0])),
+            w(_reorder_gifo(_fold_forget_bias(params.lstm2[1])))]
     for wk, bk, wv, bv, wq, bq, wo, bo, wt, bt in params.hops:
         # K|V|Q fused into one (D, 3D) projection
         ins += [w(jnp.concatenate([wk, wv, wq], axis=1)),
