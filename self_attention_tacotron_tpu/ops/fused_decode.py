@@ -152,18 +152,28 @@ def _block_reduce(ind: Array, y: Array) -> Array:
         preferred_element_type=jnp.float32)
 
 
+def _bcast(x: Array, T: int) -> Array:
+    """Per-utterance broadcast (B, N) -> (B*T, N) on b-major flattened rows
+    as a sublane broadcast+reshape — replaces the MXU-hostile K=B indicator
+    matmul ``_mm(ind, x)`` with pure data movement."""
+    B, N = x.shape
+    return jnp.broadcast_to(x[:, None, :], (B, T, N)).reshape(B * T, N)
+
+
 def _block_softmax(e_col: Array, ind: Array, B: int, T: int) -> Array:
-    """Per-utterance softmax over the (B*T, 1) column of block energies."""
+    """Per-utterance softmax over the (B*T, 1) column of block energies.
+    Each utterance shifts by its OWN max (a global shift can underflow a
+    whole row's exps); broadcasts ride ``_bcast``, reductions the deep-K
+    indicator contraction."""
     if B == 1:  # plain column softmax, no indicator matmuls
         m = jnp.max(e_col, axis=0, keepdims=True)
         ex = jnp.exp(e_col - m)
         return ex / jnp.sum(ex, axis=0, keepdims=True)
-    maxes = jnp.concatenate(
-        [jnp.max(e_col[b * T:(b + 1) * T], axis=0, keepdims=True)
-         for b in range(B)], axis=0)                     # (B, 1)
-    ex = jnp.exp(e_col - _mm(ind, maxes))
+    em = jnp.where(ind > 0.5, e_col, NEG_INF)            # (B*T, B)
+    maxes = jnp.max(em, axis=0, keepdims=True)           # (1, B)
+    ex = jnp.sum(jnp.exp(em - maxes), axis=1, keepdims=True)
     sums = _block_reduce(ind, ex)                        # (B, 1)
-    return ex / _mm(ind, sums)
+    return ex * _bcast(1.0 / sums, T)
 
 
 def _lstm_gates(gates: Array, c_prev: Array, h_prev: Array,
@@ -455,18 +465,20 @@ def _kernel(spec: dict, *refs):
                 new_cv, new_alpha = list(conv_rows), list(alpha_rows)
             for i, ((keys_ref, values_ref, mask_ref, ind_ref), v_ref) in \
                     enumerate(zip(mem, vs)):
-                u = int(v_ref.shape[0])
+                u = int(v_ref.shape[1])   # v rides as a (1, U) row
                 T = keys_ref.shape[0] // B
                 ind = ind_ref[...].astype(f32)
                 pq_b = pq_all[:, u_off:u_off + u]          # (B, U)
-                pq = _mm(ind, pq_b)                        # (B*T, U)
+                pq = _bcast(pq_b, T)                       # (B*T, U)
                 u_off += u
                 pre = keys_ref[...].astype(f32) + pq       # (B*T, U)
                 if kinds[i] != 0:
                     win = _loc_windows(conv_rows[i], pos_mem[i], loc_k, T)
                     pre = pre + _mm(win, loc_ws[i][...])
                 e = jnp.tanh(pre)
-                e_col = _mm_col(e, v_ref[...])             # (B*T, 1)
+                # v rides as a (1, U) row: lane reduction, not an N=1 matmul
+                e_col = jnp.sum(e * v_ref[...].astype(f32), axis=1,
+                                keepdims=True)             # (B*T, 1)
                 e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
                 a_col = _block_softmax(e_col, ind, B, T)
                 if kinds[i] == 2:
@@ -475,7 +487,8 @@ def _kernel(spec: dict, *refs):
                     ap = alpha_rows[i]
                     sh = _shift_col(ap, -1) * _shift_mask(pos_mem[i], -1, T)
                     z_col = (0.5 * ap + 0.5 * sh + 1e-7) * a_col
-                    w_col = z_col / _mm(ind, _block_reduce(ind, z_col))
+                    w_col = z_col * _bcast(
+                        1.0 / _block_reduce(ind, z_col), T)
                 else:
                     w_col = a_col
                 if kinds[i] != 0:
@@ -551,7 +564,7 @@ def _kernel(spec: dict, *refs):
                 hctx = []
                 for h in range(n_heads):
                     sl = slice(h * head_dim, (h + 1) * head_dim)
-                    q_rep = _mm(ind_sf, q_t[:, sl])        # (B*S, head_dim)
+                    q_rep = _bcast(q_t[:, sl], S)          # (B*S, head_dim)
                     s_col = jnp.sum(k_all[:, sl] * q_rep, axis=1,
                                     keepdims=True) * sa_scale  # (B*S, 1)
                     s_col = jnp.where(valid, s_col, NEG_INF)
@@ -800,7 +813,8 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
     # all source query projections fused into one matmul
     ins += [w(jnp.concatenate([wq for wq, _ in params.query], axis=1))]
     if not row_mode:
-        ins += [w(v) for _, v in params.query]
+        # energy vectors as (1, U) rows: in-kernel lane reductions
+        ins += [w(jnp.transpose(v)) for _, v in params.query]
     ins += [w(w_big), w(b_big),
             w(_reorder_gifo(params.lstm2[0])),
             w(_reorder_gifo(_fold_forget_bias(params.lstm2[1])))]

@@ -312,7 +312,16 @@ def _mm_tA(a: Array, b: Array) -> Array:
         preferred_element_type=jnp.float32)
 
 
-def _block_softmax_col(e_col, ind):
+def _bcast(x, T: int):
+    """Per-utterance broadcast (B, N) -> (B*T, N) on b-major flattened rows
+    as a sublane broadcast+reshape — replaces the MXU-hostile K=B indicator
+    matmul ``_mm(ind, x)`` with pure data movement.  (``pltpu.repeat``
+    TILES [a,b,a,b]; block layout needs consecutive repeats [a,a,b,b].)"""
+    B, N = x.shape
+    return jnp.broadcast_to(x[:, None, :], (B, T, N)).reshape(B * T, N)
+
+
+def _block_softmax_col(e_col, ind, T: int):
     """Per-UTTERANCE softmax over block rows.
 
     ``e_col`` is the (B*T, 1) masked energy column (NEG_INF at invalid
@@ -327,7 +336,7 @@ def _block_softmax_col(e_col, ind):
     # reduction recovers the per-row shifted exp without any transpose
     ex = jnp.sum(jnp.exp(em - maxes), axis=1, keepdims=True)  # (B*T, 1)
     sums = _mm_tA(ind, ex)                                    # (B, 1)
-    return ex / _mm(ind, sums)
+    return ex * _bcast(1.0 / sums, T)
 
 
 def _mm_tB(a: Array, w: Array) -> Array:
@@ -464,7 +473,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
                 enumerate(zip(mem, vs, spec.u_sizes)):
             kind = kinds[si_]
             ind = ind_ref[...].astype(f32)
-            pq = _mm(ind, pq_all[:, u_off:u_off + u])
+            pq = _bcast(pq_all[:, u_off:u_off + u], T)
             u_off += u
             pre = keys_ref[...].astype(f32) + pq
             if kind != 0:
@@ -472,14 +481,17 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
                 win = _loc_windows(cv, pos, spec.loc_kernel, T)
                 pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
-            e_col = _mm(e, v_ref[...])
+            # v rides as a (1, U) row: the energy column is a lane
+            # reduction, not an N=1 matmul
+            e_col = jnp.sum(e * v_ref[...].astype(f32), axis=1,
+                            keepdims=True)
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
-            a_col = _block_softmax_col(e_col, ind)
+            a_col = _block_softmax_col(e_col, ind, T)
             if kind == 2:
                 ap = alpha_st[si_]
                 sh = _shift_col(ap, -1) * _shift_mask(pos, -1, T)
                 z = (0.5 * ap + 0.5 * sh + 1e-7) * a_col
-                w_col = z / _mm(ind, _mm_tA(ind, z))
+                w_col = z * _bcast(1.0 / _mm_tA(ind, z), T)
             else:
                 w_col = a_col
             ctxs.append(_mm_tA(ind, w_col * values_ref[...].astype(f32)))
@@ -826,7 +838,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             c = spec.c_sizes[si_]
             ind = ind_ref[...].astype(f32)
             values = values_ref[...].astype(f32)
-            pq = _mm(ind, pq_all[:, u_off:u_off + u])
+            pq = _bcast(pq_all[:, u_off:u_off + u], T)
             pre = keys_ref[...].astype(f32) + pq
             if kind != 0:
                 lane_c = lane_cv[si_]
@@ -834,9 +846,11 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 win = _loc_windows(cv_t, pos, spec.loc_kernel, T)
                 pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
-            e_col = _mm(e, v_ref[...])
+            # v rides as a (1, U) row: lane reduction, not an N=1 matmul
+            v_row = v_ref[...].astype(f32)
+            e_col = jnp.sum(e * v_row, axis=1, keepdims=True)
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
-            a_col = _block_softmax_col(e_col, ind)
+            a_col = _block_softmax_col(e_col, ind, T)
             if kind == 2:
                 # restore the recursion pieces: alpha_t from this step's
                 # aux row, alpha_{t-1} from the predecessor (the [1,0,...]
@@ -853,7 +867,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 w_col = a_col
 
             d_ctx_b = d_ctx_total[:, c_off:c_off + c]
-            dav = _mm(ind, d_ctx_b)                      # (B*T, C)
+            dav = _bcast(d_ctx_b, T)                     # (B*T, C)
             d_values_out[si_][...] += (w_col * dav).astype(
                 d_values_out[si_].dtype)
             d_w = jnp.sum(dav * values, axis=1, keepdims=True)  # (B*T, 1)
@@ -862,7 +876,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 # z = s * a, s = 0.5*ap + 0.5*shift(ap) + 1e-7
                 d_alpha = d_w + dA_st[si_]
                 sa = _mm_tA(ind, d_alpha * alpha_t)      # (B, 1)
-                d_z = (d_alpha - _mm(ind, sa)) * _mm(ind, 1.0 / z_sum)
+                d_z = (d_alpha - _bcast(sa, T)) * _bcast(1.0 / z_sum, T)
                 d_s = d_z * a_col
                 d_a = d_z * s_t + dCV_st[si_]
                 # adjoint of the one-step alpha shift (block-masked)
@@ -873,12 +887,13 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             else:
                 d_a = d_w
             s_b = _mm_tA(ind, a_col * d_a)               # (B, 1)
-            d_e_col = a_col * (d_a - _mm(ind, s_b))
-            # outer product (B*T,1)x(U,1) -> (B*T,U): contract singleton dims
-            d_e = _mm_tB(d_e_col, v_ref[...])
+            d_e_col = a_col * (d_a - _bcast(s_b, T))
+            d_e = d_e_col * v_row                        # broadcast outer
             d_pre = d_e * (1.0 - e * e)
             d_keys_out[si_][...] += d_pre.astype(d_keys_out[si_].dtype)
-            d_vs[si_][...] += mm_dw(e, d_e_col).astype(d_vs[si_].dtype)
+            # (1, U) sublane reduction replaces the N=1 dW matmul
+            d_vs[si_][...] += jnp.sum(e * d_e_col, axis=0,
+                                      keepdims=True).astype(d_vs[si_].dtype)
             d_pq_parts.append(_mm_tA(ind, d_pre))        # (B, U)
             if kind != 0:
                 # conv adjoint: d_loc_w += win^T d_pre; the conv-input
@@ -1009,7 +1024,8 @@ def _weight_ins(params: FusedTrainParams):
         ins += [w, b]
     ins += [params.att_lstm[0], params.att_lstm[1]]
     ins += [jnp.concatenate([wq for wq, _ in params.query], axis=1)]
-    ins += [v for _, v in params.query]
+    # energy vectors as (1, U) rows: in-kernel lane/sublane reductions
+    ins += [jnp.transpose(v) for _, v in params.query]
     ins += [params.outproj[0], params.outproj[1],
             params.lstm1[0], params.lstm1[1],
             params.lstm2[0], params.lstm2[1]]
@@ -1161,7 +1177,8 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     d_query = []
     u_off = 0
     for i, u in enumerate(spec.u_sizes):
-        d_query.append((d_query_all[:, u_off:u_off + u], d_vs[i]))
+        d_query.append((d_query_all[:, u_off:u_off + u],
+                        jnp.transpose(d_vs[i])))
         u_off += u
     d_params = FusedTrainParams(prenet=d_prenet, att_lstm=d_att,
                                 query=tuple(d_query), outproj=d_outproj,
