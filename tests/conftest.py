@@ -8,6 +8,17 @@ break the float32 numerical-parity tests.
 """
 
 import os
+import resource
+
+# XLA:CPU's LLVM codegen recurses deeply on the big unrolled-scan train
+# programs; with the default 8 MiB main-thread stack this intermittently
+# segfaults inside backend_compile_and_load (observed killing full-suite
+# runs in rounds 3-4 — the round-3 "cache write" diagnosis was the same
+# crash surfacing in a different compile-pipeline frame).  Raise the stack
+# limit to the hard limit before JAX initializes.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+if _soft != resource.RLIM_INFINITY and _soft != _hard:
+    resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -22,6 +33,24 @@ jax.config.update("jax_platforms", "cpu")
 def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: multi-process subprocess tests (minutes each)")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_jit_code():
+    """Drop JAX's executable caches after every test module.
+
+    A full-suite run accumulates hundreds of XLA:CPU executables in one
+    process; past a threshold the NEXT large compile segfaults inside
+    LLVM codegen (backend_compile_and_load) — reproducibly at the same
+    suite position, while the same test passes in a fresh process.
+    Bounding the live compiled-code footprint keeps the one-process suite
+    run stable; the cost is re-tracing a handful of cross-module shared
+    programs."""
+    yield
+    jax.clear_caches()
 
 # Persistent compilation cache: repeated test runs skip XLA recompiles.
 # OPT-IN ONLY (SAT_TEST_COMPILE_CACHE=1): the cache-write path
