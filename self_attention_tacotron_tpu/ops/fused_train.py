@@ -156,11 +156,12 @@ def _dw_stash_layout(spec: TrainSpec):
 
 def _aux_lanes(spec: TrainSpec):
     """Lane map of the per-step aux rows: location/forward sources hold
-    [alignment w_col, conv input] pairs (consumed by the backward kernel);
-    with ``save_align`` every additive source appends a w_col lane too.
-    Returns (lane_w, lane_cv, n_lanes) — lane_w covers all sources that
-    write alignments, lane_cv only location-based ones."""
-    lane_w, lane_cv = {}, {}
+    [alignment w_col, conv input] pairs plus their K conv-window lanes
+    (so the backward reads the windows back instead of re-running K
+    rolls+masks+concat per step); with ``save_align`` every additive
+    source appends a w_col lane too.  Returns
+    (lane_w, lane_cv, lane_win, n_lanes)."""
+    lane_w, lane_cv, lane_win = {}, {}, {}
     nxt = 0
     for si, k in enumerate(spec.src_kinds):
         if k != 0:
@@ -172,7 +173,11 @@ def _aux_lanes(spec: TrainSpec):
             if k == 0:
                 lane_w[si] = nxt
                 nxt += 1
-    return lane_w, lane_cv, nxt
+    for si, k in enumerate(spec.src_kinds):
+        if k != 0 and nxt + spec.loc_kernel <= AUX_W:
+            lane_win[si] = nxt
+            nxt += spec.loc_kernel
+    return lane_w, lane_cv, lane_win, nxt
 
 
 def _dw_block_for(batch: int, num_steps: int) -> int:
@@ -358,7 +363,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
     f32 = jnp.float32
     kinds = spec.src_kinds
     n_loc = sum(1 for k in kinds if k != 0)
-    lane_w, lane_cv, n_aux = _aux_lanes(spec)
+    lane_w, lane_cv, lane_win, n_aux = _aux_lanes(spec)
 
     it = iter(refs)
     mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
@@ -479,6 +484,10 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
             if kind != 0:
                 cv = cv_st[si_]
                 win = _loc_windows(cv, pos, spec.loc_kernel, T)
+                if si_ in lane_win:
+                    lw0 = lane_win[si_]
+                    aux_scr[pl.ds((t % 2) * BT, BT),
+                            lw0:lw0 + spec.loc_kernel] = win
                 pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
             # v rides as a (1, U) row: the energy column is a lane
@@ -627,7 +636,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     det = spec.deterministic
     kinds = spec.src_kinds
     n_loc = sum(1 for k in kinds if k != 0)
-    lane_w, lane_cv, _ = _aux_lanes(spec)
+    lane_w, lane_cv, lane_win, _ = _aux_lanes(spec)
     BT = B * T
 
     it = iter(refs)
@@ -841,9 +850,13 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             pq = _bcast(pq_all[:, u_off:u_off + u], T)
             pre = keys_ref[...].astype(f32) + pq
             if kind != 0:
-                lane_c = lane_cv[si_]
-                cv_t = aux_t[:, lane_c:lane_c + 1]
-                win = _loc_windows(cv_t, pos, spec.loc_kernel, T)
+                if si_ in lane_win:
+                    lw0 = lane_win[si_]
+                    win = aux_t[:, lw0:lw0 + spec.loc_kernel]
+                else:
+                    lane_c = lane_cv[si_]
+                    win = _loc_windows(aux_t[:, lane_c:lane_c + 1], pos,
+                                       spec.loc_kernel, T)
                 pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
             # v rides as a (1, U) row: lane reduction, not an N=1 matmul
@@ -1051,7 +1064,7 @@ def _fwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     _, w_save = layout
     B, S, D = spec.batch, spec.num_steps, spec.d_units
     T = spec.t_mem
-    _, _, n_aux = _aux_lanes(spec)
+    _, _, _, n_aux = _aux_lanes(spec)
     ins = _mem_ins(spec, keys, values, masks)
     ins += [seed_i.reshape(1), teacher_flat, spk]
     ins += [lw for lw in loc_ws if lw is not None]
@@ -1369,7 +1382,7 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
         return out
     # alignment lanes -> per-source (B, T_steps, T_mem); observational only
     # (the aux cotangent is dropped by the VJP), hence stop_gradient
-    lane_w, _, _ = _aux_lanes(spec)
+    lane_w, _, _, _ = _aux_lanes(spec)
     aux_flat = jax.lax.stop_gradient(aux_flat)
     aligns = tuple(
         jnp.moveaxis(
