@@ -137,13 +137,6 @@ def _mm(a: Array, w: Array) -> Array:
         preferred_element_type=jnp.float32)
 
 
-def _mm_col(a: Array, w: Array) -> Array:
-    """(T, U) @ (U, 1) -> (T, 1)."""
-    return jax.lax.dot_general(
-        a.astype(w.dtype), w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-
 def _block_reduce(ind: Array, y: Array) -> Array:
     """(B*T, B)^T @ (B*T, N) -> (B, N): per-utterance sums."""
     return jax.lax.dot_general(
