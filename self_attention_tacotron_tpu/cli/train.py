@@ -188,7 +188,6 @@ def main(argv=None) -> int:
     val_ds_factory = lambda: dataset_factory(
         val_src, val_tgt, hp, batch_size=1, shuffle=False, **val_kw)
 
-    model = tacotron_model_factory(hp)
     mesh = create_mesh(hp.mesh_shape, hp.mesh_axis_names)
     n_dev = int(mesh.devices.size)
     if hp.batch_size % n_dev != 0:
@@ -204,6 +203,9 @@ def main(argv=None) -> int:
         n_dev = divisor
         mesh = create_mesh(devices=jax.devices()[:n_dev])
     log.info("mesh: %s devices", n_dev)
+    # mesh-aware model: the fused training trunk shard_maps over the batch
+    # axis when the mesh has >1 device (pallas_call is opaque to GSPMD)
+    model = tacotron_model_factory(hp, mesh=mesh if n_dev > 1 else None)
 
     sample = to_model_batch(next(iter(train_ds)))
     state = create_train_state(model, hp, sample, jax.random.PRNGKey(hp.seed))

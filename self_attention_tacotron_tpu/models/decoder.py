@@ -132,6 +132,15 @@ class TacotronDecoder(nn.Module):
     fused_train_dtype: str = "float32"  # float32 | bfloat16 in-kernel
     #                                  weight/matmul storage for the
     #                                  fused training scan
+    fused_mesh: Optional[Any] = None  # jax.sharding.Mesh: when set (>1
+    #                                  device), the fused training trunk runs
+    #                                  under shard_map over the mesh's first
+    #                                  axis (batch-sharded operands, weights
+    #                                  replicated) — GSPMD cannot partition a
+    #                                  pallas_call, so without this the
+    #                                  sharded train step would all-gather
+    #                                  the batch and run the kernel
+    #                                  replicated on every device
     fused_dtype: str = "float32"     # float32 | bfloat16 in-kernel storage
     scan_unroll: int = 4             # lax.scan unroll for the decode loops
     #                                  (~10% train-step win on v5e)
@@ -444,7 +453,16 @@ class TacotronDecoder(nn.Module):
         from ..ops import fused_train as ft
         reason = None
         on_tpu = jax.default_backend() == "tpu"
-        if self.output_kind != "single":
+        # Under a >1-device mesh the trunk runs inside shard_map: every
+        # per-batch constraint below applies to the PER-DEVICE batch.
+        shards = self._fused_mesh_shards()
+        if shards > 1 and B % shards != 0:
+            reason = (f"batch {B} does not divide over the {shards}-device "
+                      "mesh data axis")
+        B_local = B // shards if B % shards == 0 else B
+        if reason is not None:
+            pass
+        elif self.output_kind != "single":
             reason = f"output_kind={self.output_kind!r} is not fused"
         elif any(p.teacher_alignments is not None for p in packs):
             reason = "forced-alignment replay is not fused"
@@ -456,12 +474,14 @@ class TacotronDecoder(nn.Module):
         elif len({int(p.values.shape[1]) for p in packs}) != 1:
             reason = "sources with different memory lengths"
 
-        elif on_tpu and B % 8 != 0:
-            reason = f"batch {B} is not a multiple of 8 (sublane tiling)"
+        elif on_tpu and B_local % 8 != 0:
+            reason = (f"per-device batch {B_local} is not a multiple of 8 "
+                      "(sublane tiling)" if shards > 1 else
+                      f"batch {B} is not a multiple of 8 (sublane tiling)")
         elif (on_tpu and self.fused_train_dtype == "bfloat16"
-              and B % 16 != 0):
-            reason = (f"batch {B} is not a multiple of 16 (bfloat16 "
-                      "save-row sublane tiling)")
+              and B_local % 16 != 0):
+            reason = (f"per-device batch {B_local} is not a multiple of 16 "
+                      "(bfloat16 save-row sublane tiling)")
         elif on_tpu and any(
                 d % 128 for d in (self.attention_rnn_out_units,
                                   self.decoder_out_units,
@@ -474,7 +494,7 @@ class TacotronDecoder(nn.Module):
             xs = (teacher_xs[0] if isinstance(teacher_xs, (tuple, list))
                   else teacher_xs)
             need = ft.estimate_vmem_bytes(
-                batch=B, num_steps=int(xs.shape[1]),
+                batch=B_local, num_steps=int(xs.shape[1]),
                 t_mem=int(packs[0].values.shape[1]), cf=int(xs.shape[2]),
                 u_sizes=[int(p.keys.shape[2]) for p in packs],
                 c_sizes=[int(p.values.shape[2]) for p in packs],
@@ -540,19 +560,26 @@ class TacotronDecoder(nn.Module):
         # pay the aux DMA when the caller asks for plots
         save_align = want_alignments or any(k != "additive"
                                             for k in src_kinds)
-        out = ft.fused_teacher_scan(
-            params, keys, values, masks, teacher_xs.astype(jnp.float32),
-            seed, drop_rate=self.drop_rate,
+        kw = dict(
+            drop_rate=self.drop_rate,
             zc_att=self.zoneout_factor_cell,
             zo_att=self.zoneout_factor_output,
             zc_dec=zc_dec, zo_dec=zo_dec, deterministic=False,
             compute_dtype=self.fused_train_dtype,
             p_dropout=self._fused_prenet_dropout(),
-            speaker_row=speaker_row, src_kinds=src_kinds,
-            cumulative=cumulative, loc_ws=tuple(loc_ws),
+            src_kinds=src_kinds, cumulative=cumulative,
             loc_kernel=max([getattr(m, "attention_kernel", 1)
                             for m in self.attention_mechanisms]),
             save_align=save_align)
+        teacher_f = teacher_xs.astype(jnp.float32)
+        if self._fused_mesh_shards() > 1:
+            out = self._shard_mapped_fused_scan(
+                params, keys, values, masks, teacher_f, seed, speaker_row,
+                tuple(loc_ws), kw)
+        else:
+            out = ft.fused_teacher_scan(
+                params, keys, values, masks, teacher_f, seed,
+                speaker_row=speaker_row, loc_ws=tuple(loc_ws), **kw)
         T_steps = teacher_xs.shape[1]
         if save_align:
             rnn_out, aligns = out
@@ -563,6 +590,49 @@ class TacotronDecoder(nn.Module):
                 jnp.zeros((B, T_steps, pk.values.shape[1]), self.dtype)
                 for pk in packs)
         return rnn_out.astype(self.dtype), aligns
+
+    def _fused_mesh_shards(self) -> int:
+        m = self.fused_mesh
+        return 1 if m is None else int(m.devices.size)
+
+    def _shard_mapped_fused_scan(self, params, keys, values, masks,
+                                 teacher_f, seed, speaker_row, loc_ws, kw):
+        """Run the fused trunk under ``shard_map`` over the mesh batch axis.
+
+        A ``pallas_call`` is an opaque custom call to GSPMD: left alone, the
+        sharded train step would all-gather the batch-sharded operands and
+        run the full-batch kernel replicated on every device.  shard_map
+        instead hands each device its LOCAL batch shard (weights replicated);
+        the gradient psum over the mesh axis is inserted by shard_map's
+        transpose for the replicated weight operands — the same collective
+        GSPMD emits for the XLA scan path (reference behavior preserved:
+        train.py:67 MirroredStrategy data parallelism).  The in-kernel PRNG
+        seed is decorrelated per device via ``axis_index`` so dropout and
+        zoneout masks differ across shards like they do across rows of a
+        single-device batch."""
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops import fused_train as ft
+        mesh = self.fused_mesh
+        axis = mesh.axis_names[0]
+        assert all(int(mesh.shape[a]) == 1 for a in mesh.axis_names[1:]), (
+            "fused trunk shards over the first mesh axis only")
+        b = P(axis)
+
+        def local(params, keys, values, masks, teacher, seed, spk, loc_ws):
+            seed = seed + jax.lax.axis_index(axis).astype(jnp.int32) \
+                * jnp.int32(40507)
+            return ft.fused_teacher_scan(params, keys, values, masks,
+                                         teacher, seed, speaker_row=spk,
+                                         loc_ws=loc_ws, **kw)
+
+        in_specs = (P(), b, b, b, b, P(),
+                    b if speaker_row is not None else P(), P())
+        out_specs = (b, b) if kw["save_align"] else b
+        return jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)(
+            params, keys, values, masks, teacher_f, seed, speaker_row,
+            loc_ws)
 
     # -------------------------------------------------- decode path (serial)
     def _decode_path(self, packs, B, num_steps, teacher_xs, mode,

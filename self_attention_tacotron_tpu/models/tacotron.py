@@ -33,6 +33,7 @@ from flax import linen as nn
 
 from ..config import HParams
 from ..ops import losses as L
+from ..ops.conv import bn_valid_rows
 from .attention import AttentionOptions
 from .decoder import DecoderMode, DecoderOutput, TacotronDecoder
 from .embedding import Embedding, ExternalEmbedding
@@ -130,6 +131,9 @@ class TacotronModel(nn.Module):
     """The unified model; ``hp.tacotron_model`` selects semantics."""
 
     hp: HParams
+    fused_mesh: Any = None  # jax.sharding.Mesh for the fused training trunk
+    #                         (shard_map over the batch axis; see
+    #                         TacotronDecoder.fused_mesh)
 
     @property
     def is_mgclf0(self) -> bool:
@@ -253,6 +257,7 @@ class TacotronModel(nn.Module):
             fused_dtype=hp.decoder_fused_dtype,
             fused_train=hp.decoder_fused_train,
             fused_train_dtype=hp.decoder_fused_train_dtype,
+            fused_mesh=self.fused_mesh,
             scan_unroll=hp.decoder_scan_unroll,
             dtype=dtype, **cfg)
 
@@ -273,6 +278,23 @@ class TacotronModel(nn.Module):
                  teacher_alignments: Optional[Sequence[jax.Array]] = None,
                  want_alignments: bool = False,
                  ) -> TacotronOutput:
+        # Remainder batches arrive padded with duplicate rows whose loss
+        # masks are zeroed (data/dataset.py pad_model_batch_rows).  Scope a
+        # row-validity mask over the forward so TRAIN-mode batch-norm
+        # statistics exclude the duplicates — the padded step then equals
+        # the unpadded step exactly (loss AND batch_stats).
+        valid = None
+        if mode == DecoderMode.TRAIN and batch.spec_loss_mask is not None:
+            m = batch.spec_loss_mask
+            valid = jnp.max(m, axis=tuple(range(1, m.ndim))) > 0
+        with bn_valid_rows(valid):
+            return self._forward(batch, mode, teacher_forcing,
+                                 teacher_alignments, want_alignments)
+
+    def _forward(self, batch: Batch, mode: DecoderMode,
+                 teacher_forcing: bool,
+                 teacher_alignments: Optional[Sequence[jax.Array]],
+                 want_alignments: bool) -> TacotronOutput:
         hp = self.hp
         is_training = mode == DecoderMode.TRAIN
 
@@ -408,11 +430,15 @@ def compute_loss(hp: HParams, out: TacotronOutput, batch: Batch,
 
 # ----------------------------------------------------------------- factories
 
-def tacotron_model_factory(hp: HParams) -> TacotronModel:
-    """reference: models/models.py:371-378 (extended to all three kinds)."""
+def tacotron_model_factory(hp: HParams, mesh=None) -> TacotronModel:
+    """reference: models/models.py:371-378 (extended to all three kinds).
+
+    ``mesh`` (a jax.sharding.Mesh, >1 device) routes the fused training
+    trunk through shard_map over the mesh batch axis; without it a
+    batch-sharded train step would replicate the pallas_call per device."""
     if hp.tacotron_model not in MODEL_KINDS:
         raise ValueError(f"Unknown Tacotron model: {hp.tacotron_model}")
-    return TacotronModel(hp=hp)
+    return TacotronModel(hp=hp, fused_mesh=mesh)
 
 
 def DualSourceSelfAttentionTacotronModel(hp: HParams) -> TacotronModel:

@@ -15,6 +15,7 @@ via the mesh, not here).
 
 from __future__ import annotations
 
+import contextlib
 from typing import Callable, Optional
 
 import jax
@@ -22,6 +23,27 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 glorot = nn.initializers.glorot_uniform()
+
+# Dynamically-scoped (B,) row-validity mask for TRAIN-mode batch-norm
+# statistics.  Remainder batches are padded with duplicates of their last
+# row so they shard evenly over the device mesh
+# (data/dataset.py pad_model_batch_rows); without masking, the duplicated
+# rows double-count in every BN batch statistic.  A dynamic scope (set by
+# the model around its forward, read here at trace time) avoids threading
+# a ``bn_mask`` argument through every encoder/postnet signature for a
+# concern that is orthogonal to all of them.
+_BN_VALID_ROWS: list = [None]
+
+
+@contextlib.contextmanager
+def bn_valid_rows(mask):
+    """Scope a (B,) bool row-validity mask over all Conv1dBN TRAIN-mode
+    batch statistics computed inside the context (None = all rows)."""
+    _BN_VALID_ROWS.append(mask)
+    try:
+        yield
+    finally:
+        _BN_VALID_ROWS.pop()
 
 
 class Conv1dBN(nn.Module):
@@ -41,8 +63,15 @@ class Conv1dBN(nn.Module):
         h = nn.Conv(self.out_channels, (self.kernel_size,), padding="SAME",
                     use_bias=False, kernel_init=glorot, dtype=self.dtype,
                     name="conv")(xs)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.99,
-                         epsilon=1e-3, dtype=self.dtype, name="bn")(h)
+        bn = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                          epsilon=1e-3, dtype=self.dtype, name="bn")
+        valid = _BN_VALID_ROWS[-1]
+        if train and valid is not None:
+            # exclude padded duplicate rows from the batch statistics (the
+            # stats then equal the unpadded batch's exactly)
+            h = bn(h, mask=valid[:, None, None])
+        else:
+            h = bn(h)
         if self.activation is not None:
             h = self.activation(h)
         return h

@@ -117,6 +117,50 @@ def test_pad_model_batch_rows_is_loss_neutral():
         L.binary_loss(stop, done, mb.binary_loss_mask), rtol=1e-6)
 
 
+def test_pad_model_batch_rows_is_batch_stats_neutral():
+    """Padded duplicate rows must not leak into TRAIN-mode batch-norm
+    statistics: the padded step's loss AND mutated batch_stats equal the
+    unpadded step's (Conv1dBN masks invalid rows via bn_valid_rows)."""
+    import jax
+
+    from self_attention_tacotron_tpu.data.dataset import pad_model_batch_rows
+    from self_attention_tacotron_tpu.models import (DecoderMode, compute_loss,
+                                                    tacotron_model_factory)
+    from test_tacotron_model import make_batch, tiny_hp
+
+    hp = tiny_hp(encoder_prenet_drop_rate=0.0, decoder_prenet_drop_rate=0.0,
+                 self_attention_drop_rate=0.0,
+                 decoder_self_attention_drop_rate=0.0,
+                 zoneout_factor_cell=0.0, zoneout_factor_output=0.0)
+    mb = make_batch(hp, B=3, T_in=7, T_out=6)
+    padded, n_pad = pad_model_batch_rows(
+        jax.tree_util.tree_map(np.asarray, mb), 4)
+    assert n_pad == 1
+    model = tacotron_model_factory(hp)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, mb,
+                           DecoderMode.VALIDATION, True)
+    rngs = {"dropout": jax.random.PRNGKey(1),
+            "zoneout": jax.random.PRNGKey(2)}
+
+    def run(b):
+        out, mut = model.apply(variables, b, DecoderMode.TRAIN, rngs=rngs,
+                               mutable=["batch_stats"])
+        return compute_loss(hp, out, b, variables["params"]), mut
+
+    losses_u, mut_u = run(mb)
+    losses_p, mut_p = run(padded)
+    np.testing.assert_allclose(float(losses_p["loss"]),
+                               float(losses_u["loss"]), rtol=1e-6)
+    flat_u = jax.tree_util.tree_leaves_with_path(mut_u["batch_stats"])
+    flat_p = dict(jax.tree_util.tree_leaves_with_path(
+        mut_p["batch_stats"]))
+    assert flat_u and len(flat_u) == len(flat_p)
+    for path, leaf_u in flat_u:
+        np.testing.assert_allclose(np.asarray(flat_p[path]),
+                                   np.asarray(leaf_u), rtol=1e-5,
+                                   atol=1e-6, err_msg=str(path))
+
+
 def test_pad_model_batch_rows_noop_when_divisible():
     from self_attention_tacotron_tpu.data.dataset import pad_model_batch_rows
     from self_attention_tacotron_tpu.models.tacotron import Batch
