@@ -742,14 +742,11 @@ class TacotronDecoder(nn.Module):
         buf_bytes = B * self.max_iters * 4 * (
             self.num_mels * self.outputs_per_step + 1
             + 2 * n_hops * self.self_attention_out_units)
-        # with self-attention hops, the per-row KV-cache attention work grows
-        # ~linearly in B and the batched scan path wins past B~4 (measured
-        # crossover on v5e, PERF.md); without hops the fused kernel wins at
-        # any VMEM-fitting batch
-        if n_hops and B > 4:
-            return (f"batch {B} > 4 with decoder self-attention hops (the "
-                    "batched scan path is faster past the measured B~4 "
-                    "crossover, PERF.md)")
+        # batched hop attention runs as block-diagonal matmuls over
+        # (S, B*D) concatenated caches (round 5) — the old per-column VPU
+        # math grew linearly in B and set a B~4 crossover; the matmul form
+        # stays fused at any VMEM-fitting batch (measured: PERF.md batched
+        # serving table)
         if buf_bytes > (64 << 20):
             return (f"output/KV buffers need {buf_bytes >> 20} MiB VMEM "
                     "(> 64 MiB gate)")

@@ -16,11 +16,14 @@ runs the ENTIRE decode loop inside ONE ``pallas_call``:
   soon as every batch row's stop token has fired.
 
 Batching: the batch dimension is flattened into rows — memories are
-``(B*T, U)``, KV caches ``(B*S, D)``, per-utterance softmax statistics are
-computed with block-indicator matmuls (``ind (B*T, B)``: broadcast = ``ind @
-x``; reduce = contract dim 0 of both).  Dense/LSTM/projection matmuls batch
-naturally as ``(B, K) @ (K, N)``, so a batch of 8 costs nearly the same MXU
-time as batch 1 — ~6-8x the single-utterance serving throughput.
+``(B*T, U)``, per-utterance softmax statistics are computed with
+block-indicator matmuls (``ind (B*T, B)``: broadcast = ``ind @ x``; reduce =
+contract dim 0 of both).  Hop KV caches are ``(S, B*D)`` concatenated-block
+buffers and ALL (batch row, head) scores run as one block-diagonal matmul
+against them (round 5 — the previous per-column VPU reductions grew
+linearly in B and capped fused serving at B~4).  Dense/LSTM/projection
+matmuls batch naturally as ``(B, K) @ (K, N)``, so a batch of 8 costs
+nearly the same MXU time as batch 1.
 
 Supported subset (the reference's serving configuration — everything else
 falls back to the scan path, see models/decoder.py):
@@ -243,8 +246,6 @@ def _kernel(spec: dict, *refs):
     else:
         # keys (B*T,U), values (B*T,C), mask (B*T,1), indicator (B*T,B)
         mem = [(next(it), next(it), next(it), next(it)) for _ in range(ns)]
-        ind_s = next(it)              # (B*S, B) indicator for the KV caches
-        pos_s = next(it)              # (B*S, 1) int32: position within block
         # location-based sources in flattened-row form (same math as the
         # fused training kernel): merged (K, U_i) conv*loc-dense products
         loc_ws = [next(it) if k != 0 else None for k in spec["src_kinds"]]
@@ -297,12 +298,24 @@ def _kernel(spec: dict, *refs):
     sa_scale = 1.0 / (head_dim ** 0.5)
     head_pad = spec["head_pad"]              # 128-aligned offset of the
     #                                          feedback block in the head row
-    if n_hops and row_mode:
+    if n_hops:
         # (n_heads, D) block-diagonal head selector: lane d belongs to head
         # d // head_dim.  Lets ALL heads' scores run as one matmul.
         hmask = (jax.lax.broadcasted_iota(jnp.int32, (n_heads, D), 1)
                  // head_dim) == jax.lax.broadcasted_iota(
                      jnp.int32, (n_heads, D), 0)
+    if n_hops and not row_mode:
+        # batched (b, head) selector over the (S, B*D) concatenated caches:
+        # row r = b*n_heads + head owns lanes [b*D + head*head_dim, ...).
+        # All rows' scores then run as ONE matmul against the cache — the
+        # row_mode block-diagonal trick generalized over the batch.  (The
+        # old per-column VPU reductions grew linearly in B*S and set the
+        # B~4 serving crossover.)
+        BH, BD = B * n_heads, B * D
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (BH, BD), 0)
+        lane_i = jax.lax.broadcasted_iota(jnp.int32, (BH, BD), 1)
+        bh_mask = ((row_i // n_heads == lane_i // D)
+                   & (row_i % n_heads == (lane_i % D) // head_dim))
 
     kinds = spec["src_kinds"]
     has_loc = any(k != 0 for k in kinds)
@@ -515,22 +528,19 @@ def _kernel(spec: dict, *refs):
 
         # causal self-attention hops with flat (B*S, D) VMEM KV caches;
         # K|V|Q projections fused into one (D, 3D) matmul
-        if n_hops and row_mode:
+        if n_hops:
             # (1, S) score/probability ROWS: masks and softmaxes reduce
             # along lanes instead of across 450 sublanes
             valid_row = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1) <= t
-        elif n_hops:
-            ind_sf = ind_s[...].astype(f32)
-            valid = pos_s[...] <= t                        # (B*S, 1)
         for (wkvq, bkvq, wot, bot), (kc, vc) in zip(hops, caches):
             kvq = _mm(y, wkvq[...]) + bkvq[...].astype(f32)  # (B, 3D)
             q_t = kvq[:, 2 * D:]
             for b in range(B):
-                kc[pl.ds(t + b * S, 1), :] = \
+                kc[pl.ds(t, 1), b * D:(b + 1) * D] = \
                     kvq[b:b + 1, :D].astype(kc.dtype)
-                vc[pl.ds(t + b * S, 1), :] = \
+                vc[pl.ds(t, 1), b * D:(b + 1) * D] = \
                     kvq[b:b + 1, D:2 * D].astype(vc.dtype)
-            k_all = kc[...].astype(f32)                    # (B*S, D)
+            k_all = kc[...].astype(f32)                    # (S, B*D)
             v_all = vc[...].astype(f32)
             if row_mode:
                 # ALL heads in one matmul pair: scores (n_heads, S) from a
@@ -554,16 +564,32 @@ def _kernel(spec: dict, *refs):
                 hctx_cat = jnp.sum(jnp.where(hmask, pv * recip, 0.0),
                                    axis=0, keepdims=True)   # (1, D)
             else:
-                hctx = []
-                for h in range(n_heads):
-                    sl = slice(h * head_dim, (h + 1) * head_dim)
-                    q_rep = _bcast(q_t[:, sl], S)          # (B*S, head_dim)
-                    s_col = jnp.sum(k_all[:, sl] * q_rep, axis=1,
-                                    keepdims=True) * sa_scale  # (B*S, 1)
-                    s_col = jnp.where(valid, s_col, NEG_INF)
-                    p_col = _block_softmax(s_col, ind_sf, B, S)
-                    hctx.append(_block_reduce(ind_sf, p_col * v_all[:, sl]))
-                hctx_cat = jnp.concatenate(hctx, axis=1)
+                # all (b, head) scores as ONE matmul via the block-diagonal
+                # query rows; joint per-row softmax along lanes; per-head
+                # context blocks selected from the probe-times-values
+                # product.  Normalization after the context matmul.
+                q_bh = jnp.broadcast_to(
+                    q_t[:, None, :], (B, n_heads, D)).reshape(B * n_heads, D)
+                q_bd = jnp.where(
+                    bh_mask, jnp.concatenate([q_bh] * B, axis=1), 0.0)
+                s = jax.lax.dot_general(
+                    q_bd, k_all, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=f32) * sa_scale  # (B*h, S)
+                s = jnp.where(valid_row, s, NEG_INF)
+                m_r = jnp.max(s, axis=1, keepdims=True)
+                ex_r = jnp.exp(s - m_r)
+                pv = jax.lax.dot_general(
+                    ex_r, v_all, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)             # (B*h, B*D)
+                recip = 1.0 / jnp.sum(ex_r, axis=1, keepdims=True)
+                rows = []
+                for b in range(B):
+                    blk = pv[b * n_heads:(b + 1) * n_heads,
+                             b * D:(b + 1) * D]             # (h, D)
+                    blk = blk * recip[b * n_heads:(b + 1) * n_heads]
+                    rows.append(jnp.sum(jnp.where(hmask, blk, 0.0),
+                                        axis=0, keepdims=True))
+                hctx_cat = jnp.concatenate(rows, axis=0)    # (B, D)
             # merged out*transform dense (Wo @ Wt precomputed)
             y = y + jnp.tanh(_mm(hctx_cat, wot[...]) + bot[...].astype(f32))
 
@@ -664,7 +690,7 @@ def fused_vmem_bytes(params: FusedDecodeParams, memory: FusedDecodeMemory,
     total += sum(_nbytes(x.shape, cdt) for hop in params.hops for x in hop)
     D = params.lstm1[1].shape[1] // 4
     total += _nbytes((B * S, cr + 1), jnp.float32)              # out buffer
-    total += len(params.hops) * 2 * _nbytes((B * S, D), jnp.float32)
+    total += len(params.hops) * 2 * _nbytes((S, B * D), jnp.float32)
     return total
 
 
@@ -788,11 +814,6 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
         [bh, jnp.zeros((1, zpad), bh.dtype), b_fb], axis=1)
 
     if not row_mode:
-        ind_s = jnp.asarray(np.kron(np.eye(B, dtype=np.float32),
-                                    np.ones((S, 1), np.float32)))
-        pos_s = jnp.asarray((np.arange(B * S) % S).reshape(B * S, 1),
-                            jnp.int32)
-        ins += [ind_s, pos_s]
         for i, k in enumerate(src_kinds):
             if k != 0:
                 ins += [w(params.loc[i])]
@@ -833,12 +854,15 @@ def fused_decode(params: FusedDecodeParams, memory: FusedDecodeMemory, *,
                        for T in t_lens]
     scratch = []
     for _ in params.hops:
-        scratch += [pltpu.VMEM((B * S, D), jnp.float32),
-                    pltpu.VMEM((B * S, D), jnp.float32)]
+        # concatenated-block layout (S, B*D): row t holds every batch row's
+        # step-t key/value at lane block b*D — what the batched hop matmuls
+        # contract against (row_mode B=1 degenerates to (S, D))
+        scratch += [pltpu.VMEM((S, B * D), jnp.float32),
+                    pltpu.VMEM((S, B * D), jnp.float32)]
 
     vmem_bytes = sum(_nbytes(x.shape, x.dtype) for x in ins)
     vmem_bytes += sum(_nbytes(o.shape, o.dtype) for o in out_shapes)
-    vmem_bytes += len(params.hops) * 2 * _nbytes((B * S, D), jnp.float32)
+    vmem_bytes += len(params.hops) * 2 * _nbytes((S, B * D), jnp.float32)
     vmem_limit = min(int(vmem_bytes * 1.3) + (4 << 20), 128 << 20)
 
     outs = pl.pallas_call(

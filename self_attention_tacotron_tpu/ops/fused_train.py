@@ -97,6 +97,12 @@ class TrainSpec(NamedTuple):
     #                               the aux buffer for EVERY source (loc/fwd
     #                               sources already stream theirs for the
     #                               backward, so this is free there)
+    ablate: Tuple[str, ...] = ()  # TIMING DIAGNOSIS ONLY — names of kernel
+    #                               pieces to skip (results become WRONG).
+    #                               Used by scripts/ablate_probe.py to budget
+    #                               the location/forward attention cost:
+    #                               fwd_win fwd_rec bwd_win bwd_loc_mm
+    #                               bwd_rec bwd_dwin bwd_dloc
 
 
 def _pad128(n: int) -> int:
@@ -481,7 +487,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
             pq = _bcast(pq_all[:, u_off:u_off + u], T)
             u_off += u
             pre = keys_ref[...].astype(f32) + pq
-            if kind != 0:
+            if kind != 0 and "fwd_win" not in spec.ablate:
                 cv = cv_st[si_]
                 win = _loc_windows(cv, pos, spec.loc_kernel, T)
                 if si_ in lane_win:
@@ -496,7 +502,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
                             keepdims=True)
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
             a_col = _block_softmax_col(e_col, ind, T)
-            if kind == 2:
+            if kind == 2 and "fwd_rec" not in spec.ablate:
                 ap = alpha_st[si_]
                 sh = _shift_col(ap, -1) * _shift_mask(pos, -1, T)
                 z = (0.5 * ap + 0.5 * sh + 1e-7) * a_col
@@ -850,21 +856,25 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             pq = _bcast(pq_all[:, u_off:u_off + u], T)
             pre = keys_ref[...].astype(f32) + pq
             if kind != 0:
-                if si_ in lane_win:
+                if "bwd_win" in spec.ablate:
+                    win = jnp.zeros((BT, spec.loc_kernel), f32)
+                elif si_ in lane_win:
                     lw0 = lane_win[si_]
                     win = aux_t[:, lw0:lw0 + spec.loc_kernel]
                 else:
                     lane_c = lane_cv[si_]
                     win = _loc_windows(aux_t[:, lane_c:lane_c + 1], pos,
                                        spec.loc_kernel, T)
-                pre = pre + _mm(win, loc_ws[si_][...])
+                if "bwd_loc_mm" not in spec.ablate:
+                    pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
             # v rides as a (1, U) row: lane reduction, not an N=1 matmul
             v_row = v_ref[...].astype(f32)
             e_col = jnp.sum(e * v_row, axis=1, keepdims=True)
             e_col = jnp.where(mask_ref[...] > 0.5, e_col, NEG_INF)
             a_col = _block_softmax_col(e_col, ind, T)
-            if kind == 2:
+            rec = kind == 2 and "bwd_rec" not in spec.ablate
+            if rec:
                 # restore the recursion pieces: alpha_t from this step's
                 # aux row, alpha_{t-1} from the predecessor (the [1,0,...]
                 # init at t=0)
@@ -884,7 +894,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             d_values_out[si_][...] += (w_col * dav).astype(
                 d_values_out[si_].dtype)
             d_w = jnp.sum(dav * values, axis=1, keepdims=True)  # (B*T, 1)
-            if kind == 2:
+            if rec:
                 # normalize + recursion VJP: alpha = z / blocksum(z),
                 # z = s * a, s = 0.5*ap + 0.5*shift(ap) + 1e-7
                 d_alpha = d_w + dA_st[si_]
@@ -911,15 +921,20 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             if kind != 0:
                 # conv adjoint: d_loc_w += win^T d_pre; the conv-input
                 # gradient gathers each window column back to its source row
-                d_loc_out[si_][...] += _mm_tA(win, d_pre).astype(
-                    d_loc_out[si_].dtype)
-                d_win = _mm_tB(d_pre, loc_ws[si_][...])  # (B*T, K)
-                pad_ = (spec.loc_kernel - 1) // 2
-                g = jnp.zeros((BT, 1), f32)
-                for kk in range(spec.loc_kernel):
-                    dd = kk - pad_
-                    g = g + _shift_col(
-                        d_win[:, kk:kk + 1] * _shift_mask(pos, dd, T), -dd)
+                if "bwd_dloc" not in spec.ablate:
+                    d_loc_out[si_][...] += _mm_tA(win, d_pre).astype(
+                        d_loc_out[si_].dtype)
+                if "bwd_dwin" not in spec.ablate:
+                    d_win = _mm_tB(d_pre, loc_ws[si_][...])  # (B*T, K)
+                    pad_ = (spec.loc_kernel - 1) // 2
+                    g = jnp.zeros((BT, 1), f32)
+                    for kk in range(spec.loc_kernel):
+                        dd = kk - pad_
+                        g = g + _shift_col(
+                            d_win[:, kk:kk + 1] * _shift_mask(pos, dd, T),
+                            -dd)
+                else:
+                    g = jnp.zeros((BT, 1), f32)
                 new_dCV[si_] = g + (dCV_st[si_]
                                     if spec.cumulative[si_] else 0.0)
             u_off += u
@@ -1265,7 +1280,8 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                        p_dropout=None, speaker_row=None,
                        src_kinds=None, cumulative=None, loc_kernel: int = 31,
                        loc_ws=None, save_align: bool = False,
-                       dw_block: int = None, interpret: bool = None):
+                       dw_block: int = None, interpret: bool = None,
+                       ablate=()):
     """Run the teacher-forced RNN trunk as fused fwd/bwd kernels.
 
     Args: keys/values (B, T_mem, U/C) per source, masks (B, T_mem) float,
@@ -1369,7 +1385,8 @@ def fused_teacher_scan(params: FusedTrainParams, keys, values, masks,
                      interpret=bool(interpret),
                      dw_block=(int(dw_block) if dw_block
                                else _dw_block_for(B, T_steps)),
-                     save_align=bool(save_align))
+                     save_align=bool(save_align),
+                     ablate=tuple(ablate))
     seed_f = (jnp.asarray(seed, jnp.int32) % jnp.int32(1 << 23)
               ).astype(jnp.float32)
     spk = (jnp.zeros((B, p_sizes[0]), jnp.float32) if speaker_row is None

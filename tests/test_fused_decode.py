@@ -216,3 +216,12 @@ def test_fused_matches_scan_vctk_flagship_shape():
         "zoneout_factor_output": 0.1, "outputs_per_step": 2,
         "max_iters": 4})
     _assert_close(ref, fused)
+
+
+def test_fused_matches_scan_batch8_hops():
+    """B=8 with decoder self-attention hops — above the old B~4 crossover.
+    Round 5's block-diagonal batched hop attention ((S, B*D) concatenated
+    caches, one matmul for all (row, head) scores) must keep parity with
+    the scan path at serving batches."""
+    ref, fused = _infer_pair({}, B=8)
+    _assert_close(ref, fused, check_aligns=False)
