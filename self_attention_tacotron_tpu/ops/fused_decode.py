@@ -123,14 +123,45 @@ def _shift_mask(pos, d: int, T: int):
     return ((q >= 0) & (q < T)).astype(jnp.float32)
 
 
-def _loc_windows(cv, pos, K: int, T: int):
-    """(B*T, K) conv-input windows: column k holds cv shifted by
-    k - (K-1)//2 with block-crossing rows zeroed — the location conv as
-    ONE (B*T, K) @ (K, U) matmul (flax SAME cross-correlation)."""
+def _tap_masks(pos, K: int, T: int):
+    """Per-tap block-boundary masks for the conv-window build/gather —
+    hoisted out of the step loops (they depend only on the static position
+    column, not on the step)."""
     pad = (K - 1) // 2
-    cols = [_shift_col(cv, k - pad) * _shift_mask(pos, k - pad, T)
-            for k in range(K)]
-    return jnp.concatenate(cols, axis=1)
+    return tuple(_shift_mask(pos, k - pad, T) for k in range(K))
+
+
+def _taps_nat_mat(taps):
+    """(B*T, K) lane matrix of the tap masks (for ``_win_build`` /
+    ``_win_gather``); hoist once per kernel.
+
+    A strided ``pltpu.roll`` (one skewed rotate for all K taps) would
+    collapse the per-tap loops below entirely, but this chip's Mosaic
+    cannot lower ``tpu.dynamic_rotate`` with a stride — the portable form
+    keeps per-tap rolls and batches all K mask multiplies into one."""
+    return jnp.concatenate(list(taps), axis=1)
+
+
+def _win_build(cv, K: int, taps_nat):
+    """(B*T, K) conv-input windows: column k holds cv shifted by k - pad
+    within utterance blocks (one roll per tap, ONE batched mask multiply
+    instead of K column multiplies)."""
+    pad = (K - 1) // 2
+    cols = [_shift_col(cv, k - pad) for k in range(K)]
+    return jnp.concatenate(cols, axis=1) * taps_nat
+
+
+def _win_gather(d_win_masked, K: int):
+    """Adjoint of the window build: g[r] = sum_k d_win[r - (k-pad), k]
+    with d_win already tap-masked (one batched multiply upstream)."""
+    pad = (K - 1) // 2
+    g = None
+    for k in range(K):
+        col = _shift_col(d_win_masked[:, k:k + 1], -(k - pad))
+        g = col if g is None else g + col
+    return g
+
+
 
 
 def _mm(a: Array, w: Array) -> Array:
@@ -323,10 +354,15 @@ def _kernel(spec: dict, *refs):
     loc_k = spec["loc_kernel"]
     loc_pad = (loc_k - 1) // 2           # flax Conv SAME, cross-correlation
     if has_loc and not row_mode:
-        # per-source flattened-row position columns for the conv windows
+        # hoisted loop-invariant conv tap-mask matrices per source
         pos_mem = [
             _pos_col(B, keys_ref.shape[0] // B) if k != 0 else None
             for k, (keys_ref, _, _, _) in zip(kinds, mem)]
+        taps_mem = [
+            _taps_nat_mat(_tap_masks(pos_mem[i], loc_k,
+                                     keys_ref.shape[0] // B))
+            if k != 0 else None
+            for i, (k, (keys_ref, _, _, _)) in enumerate(zip(kinds, mem))]
 
     def _shift_row(a, d, T):
         """a (n, T) shifted so out[:, t] = a[:, t + d], zero-filled edges."""
@@ -479,7 +515,7 @@ def _kernel(spec: dict, *refs):
                 u_off += u
                 pre = keys_ref[...].astype(f32) + pq       # (B*T, U)
                 if kinds[i] != 0:
-                    win = _loc_windows(conv_rows[i], pos_mem[i], loc_k, T)
+                    win = _win_build(conv_rows[i], loc_k, taps_mem[i])
                     pre = pre + _mm(win, loc_ws[i][...])
                 e = jnp.tanh(pre)
                 # v rides as a (1, U) row: lane reduction, not an N=1 matmul

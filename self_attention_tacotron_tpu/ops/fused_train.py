@@ -44,8 +44,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_decode import (_loc_windows, _mm, _pos_col,
-                           _shift_col, _shift_mask, NEG_INF)
+from .fused_decode import (_mm, _pos_col, _shift_col, _shift_mask,
+                           _tap_masks, _taps_nat_mat, _win_build,
+                           _win_gather, NEG_INF)
 
 Array = jax.Array
 
@@ -134,7 +135,15 @@ def _dw_stash_layout(spec: TrainSpec):
     operands (cotangents) of every B-row weight-gradient matmul; every
     ``dw_block`` steps ONE matmul per pair contracts the whole stash.  The
     query pair reuses ``zop``'s first A columns (h_att), so it needs no
-    left field of its own.  Returns (offsets_L, width_L, offsets_R, width_R).
+    left field of its own.
+
+    The prenet backward is DEFERRED to the flush (round 5): the serial loop
+    stashes only the combined dropout*relu' masks (``mr{i}``) and the
+    hidden-layer inputs (``pin{i}``, i>0); the flush recovers the prenet
+    input cotangents from the stashed ``d_gatt`` at M = dw_block*B — the
+    per-step prenet input-gradient matmuls and the x-row stash leave the
+    serial chain (layer-0 inputs DMA straight into a dedicated teacher
+    stash).  Returns (offsets_L, width_L, offsets_R, width_R).
     """
     A, D = spec.a_units, spec.d_units
     sumC, sumU = sum(spec.c_sizes), sum(spec.u_sizes)
@@ -144,9 +153,9 @@ def _dw_stash_layout(spec: TrainSpec):
     r_fields = [("d_gatt", 4 * A), ("d_g1", 4 * D), ("d_g2", 4 * D),
                 ("d_proj", D), ("d_pq", sumU)]
     for i, p in enumerate(spec.p_sizes):
-        p_in = spec.cf if i == 0 else spec.p_sizes[i - 1]
-        l_fields.append((f"pin{i}", p_in))
-        r_fields.append((f"d_pre{i}", p))
+        if i > 0:
+            l_fields.append((f"pin{i}", spec.p_sizes[i - 1]))
+        l_fields.append((f"mr{i}", p))
 
     def lay(fields):
         offsets, off = {}, 0
@@ -165,8 +174,10 @@ def _aux_lanes(spec: TrainSpec):
     [alignment w_col, conv input] pairs plus their K conv-window lanes
     (so the backward reads the windows back instead of re-running K
     rolls+masks+concat per step); with ``save_align`` every additive
-    source appends a w_col lane too.  Returns
-    (lane_w, lane_cv, lane_win, n_lanes)."""
+    source appends a w_col lane too.  All lanes are assigned contiguously
+    from 0 so the forward can emit them as ONE wide store per step
+    (separate per-lane column stores are ~1 us read-modify-writes).
+    Returns (lane_w, lane_cv, lane_win, n_lanes)."""
     lane_w, lane_cv, lane_win = {}, {}, {}
     nxt = 0
     for si, k in enumerate(spec.src_kinds):
@@ -237,10 +248,11 @@ def estimate_vmem_bytes(*, batch: int, num_steps: int, t_mem: int, cf: int,
     grads = w_elems * 4 + sum(B * T * (u + c) * 4 for u, c in zip(up, cp))
     bwd = (mem + weights + grads
            + S * B * D * 4                                # g_y input
-           + 3 * B * w_save * 4 + B * cfp * 4)            # rows3 + x scratch
+           + 3 * B * w_save * 4)                          # rows3
     temps = B * T * (max(up) + max(cp) + 2 * B + 8) * 4   # softmax matrices
     _, w_l, _, w_r = _dw_stash_layout(spec)
-    stash = _dw_block_for(B, S) * B * (w_l + w_r) * dt    # batched-dW stash
+    kb = _dw_block_for(B, S)
+    stash = kb * B * (w_l + w_r + cfp) * dt  # dW stashes + teacher x_stash
     return bwd + temps + stash
 
 def _seed_step(seed_ref, t):
@@ -402,6 +414,12 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
 
     BT = B * T
     pos = _pos_col(B, T) if n_loc else None
+    # loop-invariant location-conv tap-mask matrix (one batched multiply
+    # per window build instead of K column multiplies)
+    taps_nat = (_taps_nat_mat(_tap_masks(pos, spec.loc_kernel, T))
+                if n_loc else None)
+    m_sh1 = (_shift_mask(pos, -1, T) if any(k == 2 for k in kinds)
+             else None)
 
     def _save_dma(t, slot_rows):
         return pltpu.make_async_copy(
@@ -430,9 +448,27 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
             save_scr[pl.ds(slot_rows, B), off:off + w] = \
                 value.astype(save_scr.dtype)
 
+        # aux lanes are COLLECTED during the source loop and emitted as
+        # ONE contiguous wide store per step — separate per-lane column
+        # stores are ~1 us read-modify-write passes each (measured,
+        # scripts/colop_probe.py)
+        aux_parts: dict = {}
+
         def put_aux(lane, value):
-            aux_scr[pl.ds((t % 2) * BT, BT), lane:lane + 1] = \
-                value.astype(f32)
+            aux_parts[lane] = value.astype(f32)
+
+        def flush_aux():
+            if not aux_parts:
+                return
+            lanes = sorted(aux_parts)
+            vals, w = [], 0
+            for ln in lanes:
+                assert ln == lanes[0] + w, "aux lanes must be contiguous"
+                v = aux_parts[ln]
+                vals.append(v)
+                w += v.shape[1]
+            row = vals[0] if len(vals) == 1 else jnp.concatenate(vals, 1)
+            aux_scr[pl.ds((t % 2) * BT, BT), lanes[0]:lanes[0] + w] = row
 
         # teacher input for this step: HBM -> VMEM
         cp_in = pltpu.make_async_copy(
@@ -489,11 +525,9 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
             pre = keys_ref[...].astype(f32) + pq
             if kind != 0 and "fwd_win" not in spec.ablate:
                 cv = cv_st[si_]
-                win = _loc_windows(cv, pos, spec.loc_kernel, T)
+                win = _win_build(cv, spec.loc_kernel, taps_nat)
                 if si_ in lane_win:
-                    lw0 = lane_win[si_]
-                    aux_scr[pl.ds((t % 2) * BT, BT),
-                            lw0:lw0 + spec.loc_kernel] = win
+                    put_aux(lane_win[si_], win)   # all K lanes at once
                 pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
             # v rides as a (1, U) row: the energy column is a lane
@@ -504,7 +538,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
             a_col = _block_softmax_col(e_col, ind, T)
             if kind == 2 and "fwd_rec" not in spec.ablate:
                 ap = alpha_st[si_]
-                sh = _shift_col(ap, -1) * _shift_mask(pos, -1, T)
+                sh = _shift_col(ap, -1) * m_sh1
                 z = (0.5 * ap + 0.5 * sh + 1e-7) * a_col
                 w_col = z * _bcast(1.0 / _mm_tA(ind, z), T)
             else:
@@ -518,6 +552,7 @@ def _fwd_kernel(spec: TrainSpec, layout, *refs):
                 new_alpha[si_] = w_col
             elif spec.save_align:
                 put_aux(lane_w[si_], w_col)
+        flush_aux()
         ctx = jnp.concatenate(ctxs, axis=1) if ns > 1 else ctxs[0]
         put("ctx", ctx)
 
@@ -673,7 +708,8 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     d_values_out = [next(it) for _ in range(ns)]  # (B*T, C_i)
     d_spk_out = next(it)                          # (B, P0)
     d_loc_out = [next(it) if k != 0 else None for k in kinds]  # (K, U_i)
-    x_scr = next(it)
+    x_stash = next(it)                            # (dw_block*B, cf) teacher
+    #       rows of the current flush window (deferred prenet dW0 operand)
     rows3 = next(it)                              # (3*B, w_save) VMEM: three
     #       rotating save-row slots — each saved row is consumed twice (as
     #       step t, then as step t+1's predecessor), so steady state needs
@@ -692,6 +728,11 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
     off_l, _, off_r, _ = _dw_stash_layout(spec)
 
     pos = _pos_col(B, T) if n_loc else None
+    # loop-invariant location-conv tap-mask matrix (see _fwd_kernel)
+    taps_nat = (_taps_nat_mat(_tap_masks(pos, spec.loc_kernel, T))
+                if n_loc else None)
+    m_sh1 = (_shift_mask(pos, -1, T) if any(k == 2 for k in kinds)
+             else None)
     onehot0 = (pos == 0).astype(f32) if n_loc else None
 
     def _row_dma(row_idx, slot):
@@ -745,8 +786,14 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         (d_c_att, d_h_att_c, d_c1, d_h1_c, d_c2, d_h2_c, d_ctx_c,
          dA_st, dCV_st) = carry
 
+        srow = (k % kblk) * B
+        # the layer-0 prenet input (teacher row) DMAs STRAIGHT into its
+        # flush-window stash slot — the serial loop never touches it (the
+        # prenet backward is deferred to the flush); the flush waits on
+        # the window's copies
         cp_x = pltpu.make_async_copy(
-            teacher_hbm.at[pl.ds(t * B, B), :], x_scr, sem_x)
+            teacher_hbm.at[pl.ds(t * B, B), :],
+            x_stash.at[pl.ds(srow, B), :], sem_x.at[k % kblk])
         cp_x.start()
 
         # prefetch step t-2's row into the slot step t+1 vacated; it is
@@ -763,16 +810,12 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             _row_dma(t - 1, (k + 1) % 3).wait()
             if n_loc:
                 _aux3_dma(t - 1, (k + 1) % 3).wait()
-        cp_x.wait()
 
         first = (t == 0)
         rt = rows3[pl.ds((k % 3) * B, B), :].astype(f32)
         rp_raw = rows3[pl.ds(((k + 1) % 3) * B, B), :]
         rp = jnp.where(first, jnp.zeros_like(rp_raw), rp_raw).astype(f32)
-        x_t = x_scr[...].astype(f32)
         g = g_y[pl.ds(t * B, B), :].astype(f32)
-
-        srow = (k % kblk) * B
 
         def put_l(name, value):
             o, w = off_l[name]
@@ -863,8 +906,8 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                     win = aux_t[:, lw0:lw0 + spec.loc_kernel]
                 else:
                     lane_c = lane_cv[si_]
-                    win = _loc_windows(aux_t[:, lane_c:lane_c + 1], pos,
-                                       spec.loc_kernel, T)
+                    win = _win_build(aux_t[:, lane_c:lane_c + 1],
+                                     spec.loc_kernel, taps_nat)
                 if "bwd_loc_mm" not in spec.ablate:
                     pre = pre + _mm(win, loc_ws[si_][...])
             e = jnp.tanh(pre)
@@ -881,7 +924,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 lane = lane_w[si_]
                 alpha_t = aux_t[:, lane:lane + 1]
                 ap = jnp.where(first, onehot0, aux_p[:, lane:lane + 1])
-                sh = _shift_col(ap, -1) * _shift_mask(pos, -1, T)
+                sh = _shift_col(ap, -1) * m_sh1
                 s_t = 0.5 * ap + 0.5 * sh + 1e-7
                 z_col = s_t * a_col
                 z_sum = _mm_tA(ind, z_col)               # (B, 1)
@@ -904,7 +947,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 d_a = d_z * s_t + dCV_st[si_]
                 # adjoint of the one-step alpha shift (block-masked)
                 new_dA[si_] = 0.5 * d_s + 0.5 * _shift_col(
-                    d_s * _shift_mask(pos, -1, T), 1)
+                    d_s * m_sh1, 1)
             elif kind == 1:
                 d_a = d_w + dCV_st[si_]
             else:
@@ -918,21 +961,19 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             d_vs[si_][...] += jnp.sum(e * d_e_col, axis=0,
                                       keepdims=True).astype(d_vs[si_].dtype)
             d_pq_parts.append(_mm_tA(ind, d_pre))        # (B, U)
+            if kind != 0 and "bwd_dloc" not in spec.ablate:
+                # conv adjoint: d_loc_w += win^T d_pre (a second K=B*T
+                # contraction is cheaper than materializing an [ind | win]
+                # concat — row-streaming matmuls cost ~0.15 us, column
+                # concats ~0.3 us/lane: scripts/colop_probe.py)
+                d_loc_out[si_][...] += _mm_tA(win, d_pre).astype(
+                    d_loc_out[si_].dtype)
             if kind != 0:
-                # conv adjoint: d_loc_w += win^T d_pre; the conv-input
-                # gradient gathers each window column back to its source row
-                if "bwd_dloc" not in spec.ablate:
-                    d_loc_out[si_][...] += _mm_tA(win, d_pre).astype(
-                        d_loc_out[si_].dtype)
+                # conv-input gradient: mask in natural order, then ONE
+                # strided rotate + lane reduction (the gather adjoint)
                 if "bwd_dwin" not in spec.ablate:
                     d_win = _mm_tB(d_pre, loc_ws[si_][...])  # (B*T, K)
-                    pad_ = (spec.loc_kernel - 1) // 2
-                    g = jnp.zeros((BT, 1), f32)
-                    for kk in range(spec.loc_kernel):
-                        dd = kk - pad_
-                        g = g + _shift_col(
-                            d_win[:, kk:kk + 1] * _shift_mask(pos, dd, T),
-                            -dd)
+                    g = _win_gather(d_win * taps_nat, spec.loc_kernel)
                 else:
                     g = jnp.zeros((BT, 1), f32)
                 new_dCV[si_] = g + (dCV_st[si_]
@@ -962,24 +1003,26 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         put_l("z_att", jnp.concatenate([p_drop, ctx_prev, h_att_prev],
                                        axis=1))
         put_r("d_gatt", d_gates_att)
-        d_z_att = _mm_tB(d_gates_att, att_lstm[0][...])
-        d_p = d_z_att[:, :P_last]
-        new_d_ctx = d_z_att[:, P_last:P_last + sumC]
-        new_d_h_att = d_h_att_prev + d_z_att[:, P_last + sumC:]
+        # the prenet-input part of d_z_att is NOT on the recurrent chain:
+        # the serial matmul contracts only the [ctx | h_att] weight rows
+        # and the prenet backward is deferred to the flush (below), which
+        # recovers d_p from the stashed d_gatt at M = dw_block*B
+        d_z_att = _mm_tB(d_gates_att, att_lstm[0][...][P_last:, :])
+        new_d_ctx = d_z_att[:, :sumC]
+        new_d_h_att = d_h_att_prev + d_z_att[:, sumC:]
         new_d_c_att = d_c_att_prev
 
-        # ---- prenet backward (last layer -> first); the speaker row adds
-        # AFTER layer 0's (mask-free) output, so its gradient is the raw
-        # d_p arriving at that point
-        for li in range(n_pre - 1, -1, -1):
-            if spec.use_spk and li == 0:
-                d_spk_out[...] += d_p.astype(d_spk_out.dtype)
+        # ---- stash the prenet pieces the deferred flush needs: combined
+        # dropout*relu' masks per layer and the hidden-layer inputs (the
+        # layer-0 input DMA'd into x_stash above); the speaker row adds
+        # AFTER layer 0's (mask-free) output, handled at the flush
+        for li in range(n_pre):
             a_act = get(rt, f"p{li}")
+            relu_m = (a_act > 0).astype(f32)
             if spec.drop_rate > 0 and not det and spec.p_dropout[li]:
-                d_a = d_p * masks[f"p{li}"]
+                put_l(f"mr{li}", relu_m * masks[f"p{li}"])
             else:
-                d_a = d_p
-            d_pre_l = d_a * (a_act > 0).astype(f32)
+                put_l(f"mr{li}", relu_m)
             if li > 0:
                 a_in = get(rt, f"p{li - 1}")
                 if spec.drop_rate > 0 and not det and spec.p_dropout[li - 1]:
@@ -988,12 +1031,7 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                     inp = a_in
                 if spec.use_spk and li - 1 == 0:
                     inp = inp + spk[...].astype(f32)
-            else:
-                inp = x_t
-            put_l(f"pin{li}", inp)
-            put_r(f"d_pre{li}", d_pre_l)
-            if li > 0:
-                d_p = _mm_tB(d_pre_l, prenet[li][0][...])
+                put_l(f"pin{li}", inp)
 
         # ---- batched dW flush: one contraction of depth dw_block*B per
         # weight pair every dw_block steps (sum over steps is order-free)
@@ -1026,9 +1064,41 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
             d_query_all[...] += _mm_tA(
                 stash_l[:, o_z:o_z + A], col_r("d_pq")
             ).astype(d_query_all.dtype)
-            for li in range(n_pre):
-                acc(d_prenet[li][0], f"pin{li}", f"d_pre{li}")
-                acc_b(d_prenet[li][1], f"d_pre{li}")
+
+            # ---- deferred prenet backward over the whole window: recover
+            # d_p from the stashed att-LSTM gate cotangents at M = kblk*B
+            # (the per-step serial loop skipped the prenet weight rows),
+            # then walk the layers with the stashed mr/pin operands.
+            # Stale rows of a partial window carry zero d_gatt, so every
+            # downstream term is exactly zero.
+            for j in range(kblk):
+                @pl.when(j <= (k % kblk))
+                def _(j=j):
+                    pltpu.make_async_copy(
+                        teacher_hbm.at[pl.ds(0, B), :],
+                        x_stash.at[pl.ds(j * B, B), :],
+                        sem_x.at[j]).wait()
+            d_p = _mm_tB(col_r("d_gatt").astype(f32),
+                         att_lstm[0][...][:P_last, :])
+            for li in range(n_pre - 1, -1, -1):
+                if spec.use_spk and li == 0:
+                    d_spk_out[...] += jnp.sum(
+                        d_p.reshape(kblk, B, d_p.shape[1]),
+                        axis=0).astype(d_spk_out.dtype)
+                d_pre_l = d_p * col_l(f"mr{li}").astype(f32)
+                if li > 0:
+                    d_prenet[li][0][...] += _mm_tA(
+                        col_l(f"pin{li}").astype(cdt),
+                        d_pre_l.astype(cdt)).astype(d_prenet[li][0].dtype)
+                else:
+                    d_prenet[0][0][...] += _mm_tA(
+                        x_stash[...], d_pre_l.astype(cdt)
+                    ).astype(d_prenet[0][0].dtype)
+                d_prenet[li][1][...] += jnp.sum(
+                    d_pre_l, axis=0, keepdims=True
+                ).astype(d_prenet[li][1].dtype)
+                if li > 0:
+                    d_p = _mm_tB(d_pre_l, prenet[li][0][...])
             if S % kblk:
                 stash_r[...] = jnp.zeros_like(stash_r)
 
@@ -1160,7 +1230,11 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     out_shapes += [jax.ShapeDtypeStruct(lw.shape, jnp.float32)
                    for lw in loc_live]
     sdt = jnp.dtype(spec.compute_dtype)
-    scratch = [pltpu.VMEM((B, spec.cf), teacher_flat.dtype),
+    # x_stash: the flush window's teacher rows (layer-0 prenet inputs),
+    # DMA'd straight from HBM — the deferred prenet backward contracts
+    # against it at M = dw_block*B
+    scratch = [pltpu.VMEM((spec.dw_block * B, spec.cf),
+                          teacher_flat.dtype),
                pltpu.VMEM((3 * B, w_save), sdt)]
     if n_loc:
         scratch += [pltpu.VMEM((3 * B * T, AUX_W), jnp.float32)]
@@ -1168,7 +1242,7 @@ def _bwd_call(spec: TrainSpec, params, keys, values, masks, teacher_flat,
     cdt = jnp.dtype(spec.compute_dtype)
     scratch += [pltpu.VMEM((spec.dw_block * B, w_l), cdt),
                 pltpu.VMEM((spec.dw_block * B, w_r), cdt)]
-    scratch += [pltpu.SemaphoreType.DMA(()),
+    scratch += [pltpu.SemaphoreType.DMA((spec.dw_block,)),
                 pltpu.SemaphoreType.DMA((3,))]
     if n_loc:
         scratch += [pltpu.SemaphoreType.DMA((3,))]
