@@ -27,6 +27,53 @@ B, T, S = 32, 64, 256
 N = B * T
 
 
+def make_dma_kernel(K=10):
+    """Per iteration: store the column, issue K row-shifted column DMAs
+    into a (N, K) scratch, wait, lane-reduce back to a column — the
+    DMA-engine alternative to K pltpu.rolls."""
+
+    def kernel(x_ref, aux_ref, o_ref, src, dst, sems):
+        pad = (K - 1) // 2
+
+        def it(t, c):
+            src[...] = c
+            for k in range(K):
+                d = k - pad
+                ln = N - abs(d)
+                s0, d0 = max(0, d), max(0, -d)
+                pltpu.make_async_copy(
+                    src.at[pl.ds(s0, ln), :],
+                    dst.at[pl.ds(d0, ln), k:k + 1], sems.at[k]).start()
+            for k in range(K):
+                d = k - pad
+                ln = N - abs(d)
+                s0, d0 = max(0, d), max(0, -d)
+                pltpu.make_async_copy(
+                    src.at[pl.ds(s0, ln), :],
+                    dst.at[pl.ds(d0, ln), k:k + 1], sems.at[k]).wait()
+            return jnp.sum(dst[...], axis=1, keepdims=True) * 0.1
+
+        out = jax.lax.fori_loop(0, S, it, x_ref[...])
+        o_ref[...] = out
+
+    return kernel
+
+
+def make_roll_kernel(K=10):
+    def kernel(x_ref, aux_ref, o_ref):
+        pad = (K - 1) // 2
+
+        def it(t, c):
+            cols = [pltpu.roll(c, (-(k - pad)) % N, 0) for k in range(K)]
+            return jnp.sum(jnp.concatenate(cols, axis=1), axis=1,
+                           keepdims=True) * 0.1
+
+        out = jax.lax.fori_loop(0, S, it, x_ref[...])
+        o_ref[...] = out
+
+    return kernel
+
+
 def make_kernel(body10):
     """Kernel: S iterations, each running ``body10(col, aux) -> col``;
     the carry keeps it serial."""
@@ -124,6 +171,45 @@ def main():
         t0 = time.time()
         run_variant(name, b, rounds, results)
         print(f"compiled {name} in {time.time()-t0:.0f}s", flush=True)
+
+    # DMA-shift vs roll-based K-tap window (NOT 16x-amplified: these use
+    # scratch state; per-body numbers below are comparable to each other
+    # and ~16x the table scale above)
+    for name, mk in (("dma 10-shift window", make_dma_kernel),
+                     ("roll 10-shift window", make_roll_kernel)):
+        x = jax.random.normal(jax.random.PRNGKey(0), (N, 1))
+        aux = jax.random.normal(jax.random.PRNGKey(1), (N, 128))
+        if "dma" in name:
+            f = jax.jit(lambda x, a: pl.pallas_call(
+                mk(), out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((N, 1), jnp.float32),
+                                pltpu.VMEM((N, 10), jnp.float32),
+                                pltpu.SemaphoreType.DMA((10,))],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 << 20))(x, a))
+        else:
+            f = jax.jit(lambda x, a: pl.pallas_call(
+                mk(), out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 << 20))(x, a))
+        try:
+            y = f(x, aux); float(jnp.sum(y))
+        except Exception as e:
+            print(name, "FAIL:", str(e).splitlines()[0][:100])
+            continue
+
+        def chain(n, f=f, x=x):
+            z = x
+            t0 = time.perf_counter()
+            for _ in range(n):
+                z = f(z, aux)
+            float(jnp.sum(z))
+            return time.perf_counter() - t0
+        accs = []
+        for r in range(rounds):
+            t2, t6 = chain(2), chain(6)
+            accs.append((t6 - t2) / 4 / S * 1e9)
+        print(f"{name:22s} {statistics.median(accs):8.0f} ns/step")
 
     for r in range(rounds):
         for name, (chain, acc) in results.items():

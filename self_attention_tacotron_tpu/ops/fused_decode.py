@@ -349,6 +349,10 @@ def _kernel(spec: dict, *refs):
                    & (row_i % n_heads == (lane_i % D) // head_dim))
 
     kinds = spec["src_kinds"]
+    if row_mode:
+        # loop-invariant softmax shift: sum_u |v| bounds every energy
+        e_bound = jnp.transpose(jnp.sum(jnp.abs(v_bd[...].astype(f32)),
+                                        axis=0, keepdims=True))  # (ns, 1)
     has_loc = any(k != 0 for k in kinds)
     u_sizes = spec["u_sizes"]
     loc_k = spec["loc_kernel"]
@@ -435,8 +439,11 @@ def _kernel(spec: dict, *refs):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=f32)                # (ns, T)
             e_rows = jnp.where(mask_rows[...] > 0.5, e_rows, NEG_INF)
-            m = jnp.max(e_rows, axis=1, keepdims=True)
-            ex = jnp.exp(e_rows - m)
+            # softmax is shift-invariant: shift by the STATIC energy bound
+            # sum_u |v| >= max|e| instead of a per-step max reduction —
+            # exp(e - bound) <= 1 can never overflow, and the per-row max
+            # leaves the serial chain (e_bound is loop-invariant)
+            ex = jnp.exp(e_rows - e_bound)
             recip = 1.0 / jnp.sum(ex, axis=1, keepdims=True)   # (ns, 1)
             if not has_loc:
                 # additive-only: defer the normalization PAST the context
@@ -687,8 +694,8 @@ def _kernel(spec: dict, *refs):
         def wbody(state):
             t, fired, carry = state
             carry, stop_col = body(t, carry)
-            fired = fired | ((jax.nn.sigmoid(stop_col) > 0.5)
-                             & (t > min_iters))
+            # sigmoid(x) > 0.5  <=>  x > 0: the sigmoid leaves the chain
+            fired = fired | ((stop_col > 0.0) & (t > min_iters))
             return (t + 1, fired, carry)
 
         jax.lax.while_loop(cond, wbody,
