@@ -6,8 +6,9 @@ untrustworthy (PERF.md pitfalls); this loads the round-4
 imported that no longer exists) and interleaves trunk fwd+bwd timings of
 both kernels at the additive and recipe configurations.
 
-Usage: python scripts/ab_oldnew_train.py [rounds] [r4_path]
-       (r4_path defaults to extracting from the round-4 tag commit)
+Usage: python scripts/ab_oldnew_train.py [rounds] [commit]
+       (commit defaults to the round-4 commit; pass any rev to compare
+       the current kernel against that revision's kernel)
 """
 
 import importlib.util
@@ -26,12 +27,12 @@ from check_fused_train import FLAG, make
 
 B, T_STEPS, T_MEM = 32, 256, 64
 K_LOC = 10
-R4_COMMIT = "3f97672"
+R4_COMMIT = "3f97672"   # default baseline (round 4)
 
 
-def load_old():
+def load_old(commit):
     src = subprocess.run(
-        ["git", "show", f"{R4_COMMIT}:self_attention_tacotron_tpu/ops/"
+        ["git", "show", f"{commit}:self_attention_tacotron_tpu/ops/"
          "fused_train.py"], capture_output=True, text=True, check=True
     ).stdout
     path = "/tmp/ft_r4.py"
@@ -58,8 +59,9 @@ def load_old():
 
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    commit = sys.argv[2] if len(sys.argv) > 2 else R4_COMMIT
     from self_attention_tacotron_tpu.ops import fused_train as new_mod
-    old_mod = load_old()
+    old_mod = load_old(commit)
 
     params, keys, values, masks, teacher = make(
         jax.random.PRNGKey(2), B=B, T_steps=T_STEPS, T_mem=T_MEM,
@@ -82,7 +84,7 @@ def main():
 
     vg = jax.value_and_grad
     variants = {}
-    for tag, mod in (("r4", old_mod), ("r5", new_mod)):
+    for tag, mod in (("old", old_mod), ("new", new_mod)):
         variants[f"{tag} additive"] = jax.jit(vg(
             lambda p, s, m=mod: loss(m, p, s)))
         variants[f"{tag} recipe"] = jax.jit(vg(
