@@ -70,6 +70,11 @@ def main():
         "fwd additive": jax.jit(lambda p, s: loss(p, s)),
         "fwd forward+spk": jax.jit(
             lambda p, s: loss(p, s, speaker_row=spk_row, **fwd_kw)),
+        "bwd recipe bf16": jax.jit(vg(
+            lambda p, s: loss(p, s, speaker_row=spk_row,
+                              compute_dtype="bfloat16", **fwd_kw))),
+        "bwd additive bf16": jax.jit(vg(
+            lambda p, s: loss(p, s, compute_dtype="bfloat16"))),
     }
 
     for name, fn in variants.items():
