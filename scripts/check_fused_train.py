@@ -117,6 +117,77 @@ def stochastic():
     assert abs(dot - fd) / (abs(fd) + 1e-9) < 3e-2
 
 
+def parity_recipe():
+    """On-chip fused-vs-scan parity at the SHIPPED recipe shape (forward
+    attention + speaker prenet) through the real decoder module — the
+    additive ``parity()`` does not exercise the location-conv window
+    build, the forward recursion, or their backward."""
+    import numpy as np
+
+    from self_attention_tacotron_tpu.config import default_hparams
+    from self_attention_tacotron_tpu.models import (DecoderMode,
+                                                    compute_loss,
+                                                    tacotron_model_factory)
+
+    hp = default_hparams()
+    hp.tacotron_model = "DualSourceSelfAttentionTacotronModel"
+    hp.encoder = "SelfAttentionCBHGEncoder"
+    hp.decoder = "DualSourceTransformerDecoder"
+    hp.num_symbols = 40
+    hp.num_mels = 64
+    hp.outputs_per_step = 1
+    hp.n_feed_frame = 1
+    hp.attention = "forward"
+    hp.attention_kernel = 10
+    hp.attention_filters = 5
+    hp.use_speaker_embedding = True
+    hp.num_speakers = 4
+    hp.encoder_prenet_drop_rate = 0.0
+    hp.decoder_prenet_drop_rate = 0.0
+    hp.self_attention_drop_rate = 0.0
+    hp.decoder_self_attention_drop_rate = 0.0
+    hp.zoneout_factor_cell = 0.0
+    hp.zoneout_factor_output = 0.0
+
+    from __graft_entry__ import _make_batch
+    batch = _make_batch(hp, B=8, T_in=12, T_out=16)
+    batch = batch._replace(
+        speaker_id=jnp.arange(8, dtype=jnp.int32) % 4)
+    model = tacotron_model_factory(hp)
+    model_f = tacotron_model_factory(hp.replace(decoder_fused_train=True))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           DecoderMode.VALIDATION, True)
+
+    def loss(m, v):
+        rngs = {"dropout": jax.random.PRNGKey(1),
+                "zoneout": jax.random.PRNGKey(2)}
+        out, _ = m.apply(v, batch, DecoderMode.TRAIN, rngs=rngs,
+                         mutable=["batch_stats"])
+        return compute_loss(hp, out, batch, v["params"])["loss"]
+
+    from self_attention_tacotron_tpu.ops import fused_train as ft
+    calls = []
+    orig = ft.fused_teacher_scan
+    ft.fused_teacher_scan = lambda *a, **k: (calls.append(1),
+                                             orig(*a, **k))[1]
+    try:
+        (l_ref, g_ref) = jax.value_and_grad(
+            lambda v: loss(model, v))(variables)
+        (l_f, g_f) = jax.value_and_grad(
+            lambda v: loss(model_f, v))(variables)
+    finally:
+        ft.fused_teacher_scan = orig
+    assert calls, "recipe config fell back to the scan path (gate tripped)"
+    rel_l = abs(float(l_f) - float(l_ref)) / (abs(float(l_ref)) + 1e-9)
+    worst = 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                    jax.tree_util.tree_leaves(g_ref)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        worst = max(worst, float(jnp.max(jnp.abs(a - b))) / scale)
+    print(f"recipe parity  loss rel={rel_l:.3e}  grad worst rel={worst:.3e}")
+    assert rel_l < 2e-4 and worst < 5e-3, "recipe on-chip parity failure"
+
+
 def timing(B=32, T_steps=256, T_mem=64):
     from test_fused_train import reference_scan
     params, keys, values, masks, teacher = make(
@@ -189,6 +260,7 @@ if __name__ == "__main__":
     # would mask kernel bugs; the kernel itself is precision-stable
     jax.config.update("jax_default_matmul_precision", "highest")
     parity()
+    parity_recipe()
     stochastic()
     jax.config.update("jax_default_matmul_precision", "default")
     timing()
