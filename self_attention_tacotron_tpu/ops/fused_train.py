@@ -881,9 +881,10 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
         # recursion chain) from the aux save rows
         if n_loc:
             aux_t = aux3[pl.ds((k % 3) * BT, BT), :].astype(f32)
+            # the predecessor row is only consumed one LANE at a time (the
+            # forward-source alpha); slice before the t=0 select so the
+            # where runs on a (B*T, 1) column, not the full 128-lane row
             aux_p_raw = aux3[pl.ds(((k + 1) % 3) * BT, BT), :]
-            aux_p = jnp.where(first, jnp.zeros_like(aux_p_raw),
-                              aux_p_raw).astype(f32)
         pq_all = _mm(h_att_t, query_all[...])
         d_pq_parts = []
         new_dA, new_dCV = list(dA_st), list(dCV_st)
@@ -923,7 +924,8 @@ def _bwd_kernel(spec: TrainSpec, layout, *refs):
                 # init at t=0)
                 lane = lane_w[si_]
                 alpha_t = aux_t[:, lane:lane + 1]
-                ap = jnp.where(first, onehot0, aux_p[:, lane:lane + 1])
+                ap = jnp.where(first, onehot0,
+                               aux_p_raw[:, lane:lane + 1].astype(f32))
                 sh = _shift_col(ap, -1) * m_sh1
                 s_t = 0.5 * ap + 0.5 * sh + 1e-7
                 z_col = s_t * a_col
